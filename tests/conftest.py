@@ -1,0 +1,26 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+The container boots an `axon` TPU PJRT plugin via sitecustomize which
+overrides JAX_PLATFORMS, so the platform must be forced back to CPU through
+jax.config (env vars alone are ignored).  XLA_FLAGS still must be set before
+jax initializes its backends.
+"""
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)

@@ -1,0 +1,300 @@
+"""The DVS emulator as a pure scanned step — one XLA program per chunk.
+
+`emulator_step` computes one inter-frame interval of the full pixel model
+(lin-log, IIR photoreceptor, optional photoreceptor noise / CSDVS surround /
+SCIDVS highpass, leak, event quantization, closed-form refractory filtering,
+Bernoulli shot noise) and returns dense per-frame event-count maps.
+`emulate_chunk` scans it over a ``[F, H, W]`` stack of frames inside one
+``jit``; the only host interaction per chunk is the device-to-host copy of
+the packed count maps.
+
+This replaces the reference's per-frame Python driver and its data-dependent
+per-event loop (/root/reference/v2ecore/emulator.py:619-1022) with
+compiler-friendly, shape-static control flow.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from v2e_tpu.emulator.config import EmulatorConfig
+from v2e_tpu.emulator.state import EmulatorParams, EmulatorState
+from v2e_tpu.ops.core import (
+    compute_event_map,
+    generate_shot_noise,
+    lin_log,
+    low_pass_filter,
+    refractory_filter,
+    rescale_intensity_frame,
+    subtract_leak_current,
+)
+
+# Termination threshold of the CSDVS Euler diffuser stepping
+# (reference emulator.py:52).
+CS_MAX_CHANGE = 1e-5
+CS_NUM_STEPS_PER_TAU = 5
+CS_MAX_STEPS = 1000  # hard bound for lax.while_loop (reference warns >1000)
+
+_LAPLACIAN = jnp.array(
+    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], dtype=jnp.float32
+)
+
+
+def _update_csdvs(
+    cfg: EmulatorConfig,
+    lp_log_frame: jnp.ndarray,
+    cs_surround_frame: jnp.ndarray,
+    delta_time: jnp.ndarray,
+) -> jnp.ndarray:
+    """Euler-step the horizontal-cell diffuser toward its steady state.
+
+    Reference `_update_csdvs` (emulator.py:1061-1124): replication-padded 3x3
+    Laplacian diffusion with early termination when the max update falls
+    below CS_MAX_CHANGE.  The unbounded Python ``while`` becomes a
+    ``lax.while_loop`` with a static step cap; the number of steps is
+    data-dependent but shape-static.
+    """
+    abs_min_tau_p = 1e-9
+    tau_p = abs_min_tau_p if (cfg.cs_tau_p_ms is None or cfg.cs_tau_p_ms == 0) else cfg.cs_tau_p_ms * 1e-3
+    tau_h = (
+        abs_min_tau_p / (cfg.cs_lambda_pixels**2)
+        if cfg.cs_tau_h_ms == 0
+        else cfg.cs_tau_h_ms * 1e-3
+    )
+    min_tau = min(tau_p, tau_h)
+
+    num_steps = jnp.ceil((delta_time / min_tau) * CS_NUM_STEPS_PER_TAU).astype(jnp.int32)
+    num_steps = jnp.minimum(jnp.maximum(num_steps, 1), CS_MAX_STEPS)
+    actual_dt = delta_time / num_steps.astype(jnp.float32)
+    alpha_p = actual_dt / tau_p
+    alpha_h = actual_dt / tau_h
+
+    p = lp_log_frame
+
+    def laplacian(h):
+        hp = jnp.pad(h, 1, mode="edge")
+        return jax.scipy.signal.convolve2d(hp, _LAPLACIAN, mode="valid")
+
+    def cond(carry):
+        h, steps, max_change = carry
+        return (steps < num_steps) & (max_change > CS_MAX_CHANGE)
+
+    def body(carry):
+        h, steps, _ = carry
+        change = alpha_p * (p - h) + alpha_h * laplacian(h)
+        max_change = jnp.max(jnp.abs(change))
+        return h + change, steps + 1, max_change
+
+    h0 = cs_surround_frame
+    h, _, _ = jax.lax.while_loop(cond, body, (h0, jnp.int32(0), jnp.float32(2 * CS_MAX_CHANGE)))
+    return h
+
+
+def _scidvs_dvdt(v: jnp.ndarray, tau: jnp.ndarray) -> jnp.ndarray:
+    """SCIDVS highpass decay rate: sinh conductance (reference emulator.py:58-84)."""
+    efold = 1.0 / 0.7
+    return (1.0 / tau) * jnp.sinh(v / efold)
+
+
+def emulator_step(
+    cfg: EmulatorConfig,
+    params: EmulatorParams,
+    state: EmulatorState,
+    new_frame: jnp.ndarray,
+    t_frame: jnp.ndarray,
+) -> Tuple[EmulatorState, Dict[str, jnp.ndarray]]:
+    """One inter-frame step of the DVS model.
+
+    Args:
+      new_frame: f32[H,W] linear 0-255 intensity (or HDR log if cfg.hdr).
+      t_frame: f32 scalar chunk-relative frame time (must exceed state.t_prev).
+
+    Returns:
+      (new_state, out) where out holds per-frame dense event descriptors:
+        ev_count  i16[H,W]  signed final event count (+ON / -OFF, post-refractory)
+        i0        i16[H,W]  first emitted sub-frame iteration per pixel
+        stride    i32       iteration stride between emitted events
+        K         i32       max per-pixel candidate count (defines the ts grid)
+        t_prev/t_frame f32  interval bounds (chunk-relative)
+        shot_on/shot_off bool[H,W] (only when simple shot noise is on)
+        num_on/num_off i32  totals including shot noise (for cheap stats)
+    """
+    delta_time = t_frame - state.t_prev
+    key, k_leak, k_shot, k_pr = jax.random.split(state.key, 4)
+
+    new_frame = new_frame.astype(jnp.float32)
+    log_new = new_frame if cfg.hdr else lin_log(new_frame)
+
+    inten01 = rescale_intensity_frame(new_frame) if cfg.needs_inten01 else None
+
+    lp = low_pass_filter(log_new, state.lp_log_frame, inten01, delta_time, cfg.cutoff_hz)
+
+    pr_noise = state.photoreceptor_noise_arr
+    if cfg.photoreceptor_noise:
+        noise = params.photoreceptor_noise_vrms * jax.random.normal(
+            k_pr, log_new.shape, dtype=jnp.float32
+        )
+        pr_noise = low_pass_filter(noise, pr_noise, None, delta_time, cfg.cutoff_hz)
+
+    cs_surround = state.cs_surround_frame
+    if cfg.csdvs_enabled:
+        cs_surround = _update_csdvs(cfg, lp, cs_surround, delta_time)
+
+    scidvs_highpass = state.scidvs_highpass
+    scidvs_prev = state.scidvs_previous_photo
+    if cfg.scidvs:
+        scidvs_highpass = scidvs_highpass + (lp - scidvs_prev) - delta_time * _scidvs_dvdt(
+            scidvs_highpass, params.scidvs_tau_arr
+        )
+        scidvs_prev = lp
+
+    base = state.base_log_frame
+    if cfg.leak_rate_hz > 0:
+        base = subtract_leak_current(
+            base,
+            cfg.leak_rate_hz,
+            delta_time,
+            params.pos_thres,
+            cfg.leak_jitter_fraction,
+            params.noise_rate_array,
+            k_leak,
+        )
+
+    photoreceptor = cfg.scidvs_gain * scidvs_highpass if cfg.scidvs else lp
+    if cfg.csdvs_enabled:
+        c_minus_s = photoreceptor + pr_noise - cs_surround
+        diff = c_minus_s - base
+    else:
+        diff = photoreceptor + pr_noise - base
+
+    pos_evts, neg_evts = compute_event_map(diff, params.pos_thres, params.neg_thres)
+    count = pos_evts + neg_evts  # disjoint per pixel (diff has one sign)
+    K = jnp.max(count)
+    K_eff = jnp.maximum(K, 1)
+    # tiny floor keeps the refractory closed form finite if dt == 0
+    ts_step = jnp.maximum(delta_time, 1e-12) / K_eff.astype(jnp.float32)
+
+    if cfg.refractory_period_s > 0:
+        n_emit, i0, stride, new_mem = refractory_filter(
+            count, state.timestamp_mem, state.t_prev, ts_step, cfg.refractory_period_s
+        )
+    else:
+        n_emit, i0, stride = count, jnp.zeros_like(count), jnp.int32(1)
+        new_mem = state.timestamp_mem
+
+    final_pos = jnp.where(pos_evts > 0, n_emit, 0)
+    final_neg = jnp.where(neg_evts > 0, n_emit, 0)
+
+    base = base + final_pos.astype(jnp.float32) * params.pos_thres
+    base = base - final_neg.astype(jnp.float32) * params.neg_thres
+
+    out: Dict[str, jnp.ndarray] = {}
+    num_on = jnp.sum(final_pos)
+    num_off = jnp.sum(final_neg)
+
+    if cfg.simple_shot_noise:
+        shot_on, shot_off = generate_shot_noise(
+            k_shot,
+            cfg.shot_noise_rate_hz,
+            delta_time,
+            cfg.shot_noise_inten_factor,
+            inten01,
+            params.pos_thres_pre_prob,
+            params.neg_thres_pre_prob,
+        )
+        # shot events reset the pixel memory to the current photoreceptor
+        # value (reference emulator.py:940-942)
+        base = jnp.where(shot_on | shot_off, lp, base)
+        out["shot_on"] = shot_on
+        out["shot_off"] = shot_off
+        num_on = num_on + jnp.sum(shot_on)
+        num_off = num_off + jnp.sum(shot_off)
+
+    if cfg.probe is not None:
+        px, py = cfg.probe  # (x, y) like the reference CLI tuple
+        out["probe"] = jnp.stack(
+            [
+                new_frame[py, px],
+                base[py, px],  # post-update, like the reference (emulator.py:992)
+                lp[py, px],
+                log_new[py, px],
+                params.pos_thres[py, px],
+                params.neg_thres[py, px],
+                diff[py, px],
+                final_neg[py, px].astype(jnp.float32),
+                final_pos[py, px].astype(jnp.float32),
+            ]
+        )
+
+    if cfg.emit_states:
+        available = {
+            "new_frame": new_frame,
+            "log_new_frame": log_new,
+            "lp_log_frame": lp,
+            "photoreceptor_noise_arr": pr_noise,
+            "base_log_frame": base,
+            "diff_frame": diff,
+        }
+        if cfg.scidvs:
+            available["scidvs_highpass"] = scidvs_highpass
+        if cfg.csdvs_enabled:
+            available["cs_surround_frame"] = cs_surround
+            available["c_minus_s_frame"] = c_minus_s
+        out["states"] = {
+            name: available[name] for name in cfg.emit_states if name in available
+        }
+
+    signed = (final_pos - final_neg).astype(jnp.int16)
+    out.update(
+        ev_count=signed,
+        i0=i0.astype(jnp.int16),
+        stride=stride,
+        K=K,
+        t_prev=state.t_prev,
+        t_frame=t_frame,
+        num_on=num_on,
+        num_off=num_off,
+    )
+
+    new_state = state.replace(
+        base_log_frame=base,
+        lp_log_frame=lp,
+        photoreceptor_noise_arr=pr_noise,
+        timestamp_mem=new_mem,
+        t_prev=t_frame,
+        key=key,
+        scidvs_highpass=scidvs_highpass,
+        scidvs_previous_photo=scidvs_prev,
+        cs_surround_frame=cs_surround,
+    )
+    return new_state, out
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def emulate_chunk(
+    cfg: EmulatorConfig,
+    params: EmulatorParams,
+    state: EmulatorState,
+    frames: jnp.ndarray,
+    times: jnp.ndarray,
+) -> Tuple[EmulatorState, Dict[str, jnp.ndarray]]:
+    """Scan the emulator over a chunk of frames in one compiled program.
+
+    Args:
+      frames: f32[F,H,W] linear 0-255 intensity frames (HDR log if cfg.hdr).
+      times: f32[F] chunk-relative frame times, strictly increasing, with
+        times[0] > state.t_prev.
+
+    Returns:
+      (final_state, outs) with outs the per-frame outputs of `emulator_step`
+      stacked along a leading F axis.
+    """
+
+    def body(st, inp):
+        frame, t = inp
+        return emulator_step(cfg, params, st, frame, t)
+
+    return jax.lax.scan(body, state, (frames, times))

@@ -1,0 +1,458 @@
+"""Reference-compatible `EventEmulator` facade over the scanned TPU core.
+
+Keeps the library API of the reference
+(/root/reference/v2ecore/emulator.py:35-1022) — construct, push frames with
+``generate_events(frame, t)``, get AER arrays back, with the same output
+sinks — while the actual model runs as the jitted ``lax.scan`` chunk kernel
+(`v2e_tpu.emulator.core.emulate_chunk`).
+
+For throughput, prefer the chunked API ``generate_events_batch(frames,
+times)``: a whole stack of frames crosses the host↔device boundary once and
+the scan amortizes dispatch overhead.  ``generate_events`` is the same code
+path with a chunk of one frame.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from v2e_tpu.emulator.config import EmulatorConfig
+from v2e_tpu.emulator.core import emulate_chunk
+from v2e_tpu.emulator.events import materialize_events
+from v2e_tpu.emulator.state import init_state, rebase_state
+from v2e_tpu.ops.noise import compute_photoreceptor_noise_voltage
+
+logger = logging.getLogger(__name__)
+
+# display normalization ranges for model-state video (reference emulator.py:41-50)
+_L255 = float(np.log(255.0))
+MODEL_STATES = {
+    "new_frame": (0, 255),
+    "log_new_frame": (0, _L255),
+    "lp_log_frame": (0, _L255),
+    "scidvs_highpass": (-_L255 / 8, _L255 / 8),
+    "photoreceptor_noise_arr": (-_L255 / 8, _L255 / 8),
+    "cs_surround_frame": (0, _L255),
+    "c_minus_s_frame": (-_L255 / 8, _L255 / 8),
+    "base_log_frame": (-_L255 / 8, _L255 / 8),
+    "diff_frame": (-_L255 / 8, _L255 / 8),
+}
+
+SINGLE_PIXEL_STATES_FILENAME = "pixel-states.dat"
+SINGLE_PIXEL_MAX_SAMPLES = 10000
+_PROBE_KEYS = (
+    "new_frame",
+    "base_log_frame",
+    "lp_log_frame",
+    "log_new_frame",
+    "pos_thres",
+    "neg_thres",
+    "diff_frame",
+    "final_neg_evts_frame",
+    "final_pos_evts_frame",
+)
+
+
+class EventEmulator:
+    """Stateful DVS emulator with the reference's constructor surface."""
+
+    def __init__(
+        self,
+        pos_thres: float = 0.2,
+        neg_thres: float = 0.2,
+        sigma_thres: float = 0.03,
+        cutoff_hz: float = 0.0,
+        leak_rate_hz: float = 0.1,
+        refractory_period_s: float = 0.0,
+        shot_noise_rate_hz: float = 0.0,
+        photoreceptor_noise: bool = False,
+        leak_jitter_fraction: float = 0.1,
+        noise_rate_cov_decades: float = 0.1,
+        seed: int = 0,
+        output_folder: Optional[str] = None,
+        dvs_h5: Optional[str] = None,
+        dvs_aedat2: Optional[str] = None,
+        dvs_aedat4: Optional[str] = None,
+        dvs_text: Optional[str] = None,
+        show_dvs_model_state: Optional[List[str]] = None,
+        save_dvs_model_state: bool = False,
+        output_width: Optional[int] = None,
+        output_height: Optional[int] = None,
+        device: Optional[str] = None,  # accepted for API parity; unused (XLA picks)
+        cs_lambda_pixels: Optional[float] = None,
+        cs_tau_p_ms: Optional[float] = None,
+        hdr: bool = False,
+        scidvs: bool = False,
+        record_single_pixel_states: Optional[Tuple[int, int]] = None,
+        label_signal_noise: bool = False,
+        shuffle_events_within_iteration: bool = True,
+    ):
+        if record_single_pixel_states is not None:
+            if (
+                not isinstance(record_single_pixel_states, tuple)
+                or len(record_single_pixel_states) != 2
+                or not all(isinstance(i, int) for i in record_single_pixel_states)
+            ):
+                raise ValueError(
+                    f"record_single_pixel_states {record_single_pixel_states} must "
+                    "be an (x, y) tuple of ints"
+                )
+
+        emit_states: tuple = ()
+        if show_dvs_model_state is not None:
+            if len(show_dvs_model_state) == 1 and show_dvs_model_state[0] == "all":
+                emit_states = tuple(MODEL_STATES.keys())
+            else:
+                emit_states = tuple(show_dvs_model_state)
+
+        self.cfg = EmulatorConfig(
+            pos_thres=pos_thres,
+            neg_thres=neg_thres,
+            sigma_thres=sigma_thres,
+            cutoff_hz=cutoff_hz,
+            leak_rate_hz=leak_rate_hz,
+            leak_jitter_fraction=leak_jitter_fraction,
+            noise_rate_cov_decades=noise_rate_cov_decades,
+            refractory_period_s=refractory_period_s,
+            shot_noise_rate_hz=shot_noise_rate_hz,
+            photoreceptor_noise=photoreceptor_noise,
+            hdr=hdr,
+            scidvs=scidvs,
+            cs_lambda_pixels=cs_lambda_pixels,
+            cs_tau_p_ms=cs_tau_p_ms,
+            seed=seed,
+            probe=record_single_pixel_states,
+            emit_states=emit_states,
+        )
+        self.cfg.validate()
+
+        self.label_signal_noise = label_signal_noise
+        self.shuffle = shuffle_events_within_iteration
+        self.output_folder = output_folder
+        self.output_width = output_width
+        self.output_height = output_height
+        self.show_dvs_model_state = show_dvs_model_state
+        self.save_dvs_model_state = save_dvs_model_state
+
+        # runtime state
+        self.params = None
+        self.state = None
+        self.t_origin: float = 0.0  # absolute f64 time of the chunk origin
+        self.t_previous: float = 0.0
+        self.frame_counter = 0
+        self.num_events_total = 0
+        self.num_events_on = 0
+        self.num_events_off = 0
+
+        seed_val = seed if seed != 0 else int.from_bytes(os.urandom(4), "little")
+        self._key = jax.random.key(seed_val)
+        self._pr_noise_pending = False
+        self._np_rng = np.random.default_rng(seed if seed != 0 else None)
+
+        # single pixel probe storage (reference emulator.py:291-302)
+        self.record_single_pixel_states = record_single_pixel_states
+        self.single_pixel_sample_count = 0
+        self.single_pixel_states = None
+        if record_single_pixel_states is not None:
+            self.single_pixel_states = {
+                "time": np.full(SINGLE_PIXEL_MAX_SAMPLES, np.nan)
+            }
+            for k in _PROBE_KEYS:
+                self.single_pixel_states[k] = np.full(SINGLE_PIXEL_MAX_SAMPLES, np.nan)
+
+        # output sinks
+        self.dvs_h5 = None
+        self.dvs_aedat2 = None
+        self.dvs_aedat4 = None
+        self.dvs_text = None
+        self._video_writers: Dict[str, object] = {}
+        if output_folder is not None:
+            os.makedirs(output_folder, exist_ok=True)
+        from v2e_tpu.utils.paths import check_add_suffix
+
+        if dvs_h5:
+            from v2e_tpu.io.hdf5 import DVSH5Output
+
+            path = check_add_suffix(os.path.join(output_folder or ".", dvs_h5), ".h5")
+            self.dvs_h5 = DVSH5Output(path)
+        if dvs_aedat2:
+            from v2e_tpu.io.aedat2 import AEDat2Output
+
+            path = check_add_suffix(
+                os.path.join(output_folder or ".", dvs_aedat2), ".aedat"
+            )
+            self.dvs_aedat2 = AEDat2Output(
+                path,
+                output_width=output_width or 346,
+                output_height=output_height or 260,
+                label_signal_noise=label_signal_noise,
+            )
+        if dvs_aedat4:
+            from v2e_tpu.io.aedat4 import AEDat4Output
+
+            path = check_add_suffix(
+                os.path.join(output_folder or ".", dvs_aedat4), ".aedat4"
+            )
+            self.dvs_aedat4 = AEDat4Output(
+                path,
+                output_width=output_width or 640,
+                output_height=output_height or 480,
+            )
+        if dvs_text:
+            from v2e_tpu.io.text import DVSTextOutput
+
+            path = check_add_suffix(os.path.join(output_folder or ".", dvs_text), ".txt")
+            self.dvs_text = DVSTextOutput(path, label_signal_noise=label_signal_noise)
+
+    # ------------------------------------------------------------------
+    def set_dvs_params(self, model: str) -> None:
+        """Apply the 'clean'/'noisy' preset (reference emulator.py:513-556).
+
+        Must be called before the first frame (parameters are baked into the
+        compiled chunk program at initialization).
+        """
+        if self.state is not None:
+            raise RuntimeError("set_dvs_params must be called before the first frame")
+        if model == "clean":
+            self.cfg = EmulatorConfig.clean(
+                hdr=self.cfg.hdr,
+                scidvs=self.cfg.scidvs,
+                cs_lambda_pixels=self.cfg.cs_lambda_pixels,
+                cs_tau_p_ms=self.cfg.cs_tau_p_ms,
+                seed=self.cfg.seed,
+                probe=self.cfg.probe,
+                emit_states=self.cfg.emit_states,
+            )
+        elif model == "noisy":
+            self.cfg = EmulatorConfig.noisy(
+                hdr=self.cfg.hdr,
+                scidvs=self.cfg.scidvs,
+                cs_lambda_pixels=self.cfg.cs_lambda_pixels,
+                cs_tau_p_ms=self.cfg.cs_tau_p_ms,
+                seed=self.cfg.seed,
+                probe=self.cfg.probe,
+                emit_states=self.cfg.emit_states,
+            )
+        else:
+            logger.warning(
+                f"dvs_params '{model}' not known: using command-line options"
+            )
+
+    def reset(self) -> None:
+        """Re-initialize on the next frame (reference emulator.py:558-578)."""
+        self.params = None
+        self.state = None
+        self.t_origin = 0.0
+        self.t_previous = 0.0
+        self.frame_counter = 0
+        self.num_events_total = 0
+        self.num_events_on = 0
+        self.num_events_off = 0
+
+    # ------------------------------------------------------------------
+    def _initialize(self, first_frame: np.ndarray, t0: float) -> None:
+        self._key, sub = jax.random.split(self._key)
+        frame = jnp.asarray(first_frame, dtype=jnp.float32)
+        if self.output_height is None:
+            self.output_height, self.output_width = frame.shape
+        self.t_origin = float(t0)
+        self.params, self.state = init_state(
+            self.cfg, frame, jnp.float32(0.0), sub
+        )
+        if self.cfg.photoreceptor_noise:
+            # amplitude calibrated once the sample rate is known (first dt)
+            self._pr_noise_pending = True
+        else:
+            self._pr_noise_pending = False
+
+    def _calibrate_photoreceptor_noise(self, delta_time: float) -> None:
+        vrms = compute_photoreceptor_noise_voltage(
+            shot_noise_rate_hz=self.cfg.shot_noise_rate_hz,
+            f3db=self.cfg.cutoff_hz,
+            sample_rate_hz=1.0 / delta_time,
+            pos_thr=self.cfg.pos_thres,
+            neg_thr=self.cfg.neg_thres,
+            sigma_thr=self.cfg.sigma_thres,
+            rng=self._np_rng,
+        )
+        self.params = self.params.replace(
+            photoreceptor_noise_vrms=jnp.float32(vrms)
+        )
+        self._pr_noise_pending = False
+
+    # ------------------------------------------------------------------
+    def generate_events(
+        self, new_frame: np.ndarray, t_frame: float
+    ) -> Optional[np.ndarray]:
+        """Single-frame API of the reference (emulator.py:619-1022).
+
+        Returns float [N,4] = [t, x, y, p(+-1)] or None (first frame / no
+        events).
+        """
+        ev = self.generate_events_batch(
+            np.asarray(new_frame)[None, ...], np.array([t_frame], dtype=np.float64)
+        )
+        if ev is None or ev.shape[0] == 0:
+            return None
+        return ev
+
+    def generate_events_batch(
+        self, frames: np.ndarray, times: np.ndarray
+    ) -> Optional[np.ndarray]:
+        """Chunked fast path: emulate F frames in one device program.
+
+        Args:
+          frames: [F,H,W] linear 0-255 (or HDR log) frames.
+          times: [F] float64 absolute times, strictly increasing.
+
+        Returns concatenated events of the chunk (None if none).
+        """
+        frames = np.asarray(frames)
+        times = np.asarray(times, dtype=np.float64)
+        if frames.ndim != 3 or frames.shape[0] != times.shape[0]:
+            raise ValueError("frames must be [F,H,W] matching times [F]")
+        if self.frame_counter and times[0] < self.t_previous:
+            raise ValueError(
+                f"frame time {times[0]} is earlier than previous {self.t_previous}"
+            )
+
+        start = 0
+        if self.state is None:
+            self._initialize(frames[0], times[0])
+            self.t_previous = float(times[0])
+            self.frame_counter += 1
+            if self.dvs_h5 is not None:
+                self.dvs_h5.appendFrame(frames[0])
+            start = 1
+            if start >= frames.shape[0]:
+                return None
+
+        if self._pr_noise_pending:
+            self._calibrate_photoreceptor_noise(
+                float(times[start]) - self.t_previous
+            )
+
+        chunk = jnp.asarray(
+            frames[start:], dtype=jnp.float32
+        )
+        rel_times = jnp.asarray(times[start:] - self.t_origin, dtype=jnp.float32)
+
+        self.state, outs = emulate_chunk(
+            self.cfg, self.params, self.state, chunk, rel_times
+        )
+        outs_np = jax.device_get(outs)
+
+        events, labels, offsets = materialize_events(
+            outs_np,
+            self.t_origin,
+            rng=self._np_rng if self.shuffle else None,
+            label_signal_noise=self.label_signal_noise,
+        )
+
+        self.num_events_on += int(np.sum(outs_np["num_on"]))
+        self.num_events_off += int(np.sum(outs_np["num_off"]))
+        self.num_events_total = self.num_events_on + self.num_events_off
+        self.frame_counter += frames.shape[0] - start
+        self.t_previous = float(times[-1])
+
+        self._record_probe(outs_np, times[start:])
+        self._handle_state_frames(outs_np, times[start:])
+
+        # rebase chunk-relative device times to keep f32 precision over long runs
+        last_rel = float(times[-1] - self.t_origin)
+        if last_rel > 8.0:
+            self.state = rebase_state(self.state, jnp.float32(last_rel))
+            self.t_origin += last_rel
+
+        # sinks
+        if self.dvs_h5 is not None:
+            for f in range(frames.shape[0] - start):
+                self.dvs_h5.appendFrame(frames[start + f])
+            self.dvs_h5.appendEvents(events)
+        if self.dvs_aedat2 is not None:
+            self.dvs_aedat2.appendEvents(events, signnoise_label=labels)
+        if self.dvs_aedat4 is not None:
+            self.dvs_aedat4.appendEvents(events, signnoise_label=labels)
+        if self.dvs_text is not None:
+            self.dvs_text.appendEvents(events, signnoise_label=labels)
+
+        return events if events.shape[0] else None
+
+    # ------------------------------------------------------------------
+    def _record_probe(self, outs_np: Dict, times: np.ndarray) -> None:
+        if self.single_pixel_states is None or "probe" not in outs_np:
+            return
+        probe = outs_np["probe"]  # [F, 9]
+        for f in range(probe.shape[0]):
+            k = self.single_pixel_sample_count
+            if k >= SINGLE_PIXEL_MAX_SAMPLES:
+                self.save_recorded_single_pixel_states()
+                self.single_pixel_states = None
+                return
+            self.single_pixel_states["time"][k] = times[f]
+            for i, name in enumerate(_PROBE_KEYS):
+                self.single_pixel_states[name][k] = probe[f, i]
+            self.single_pixel_sample_count += 1
+
+    def save_recorded_single_pixel_states(self) -> None:
+        if self.single_pixel_states is None:
+            return
+        path = os.path.join(self.output_folder or ".", SINGLE_PIXEL_STATES_FILENAME)
+        with open(path, "wb") as f:
+            pickle.dump(self.single_pixel_states, f, protocol=pickle.HIGHEST_PROTOCOL)
+        logger.info(
+            f"saved single-pixel states with {self.single_pixel_sample_count} "
+            f"samples to {path}"
+        )
+
+    def _handle_state_frames(self, outs_np: Dict, times: np.ndarray) -> None:
+        """Save model-state videos for --save_dvs_model_state.
+
+        Interactive cv2 windows (--show_dvs_model_state in the reference,
+        emulator.py:580-617) are headless-stubbed: frames are written to AVI
+        when save_dvs_model_state is set.
+        """
+        if "states" not in outs_np or not self.save_dvs_model_state:
+            return
+        import cv2
+
+        from v2e_tpu.utils.video import video_writer
+
+        for name, stack in outs_np["states"].items():
+            lo, hi = MODEL_STATES[name]
+            if name not in self._video_writers:
+                fn = os.path.join(self.output_folder or ".", name + ".avi")
+                h, w = stack.shape[1:]
+                self._video_writers[name] = video_writer(fn, h, w)
+            vw = self._video_writers[name]
+            for f in range(stack.shape[0]):
+                img = (stack[f] - lo) / (hi - lo)
+                img8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+                vw.write(cv2.cvtColor(img8, cv2.COLOR_GRAY2BGR))
+
+    # ------------------------------------------------------------------
+    def prepare_storage(self, n_frames: int, frame_ts) -> None:
+        """DDD-format frame storage in the H5 file (reference emulator.py:374-400)."""
+        if self.dvs_h5 is not None:
+            self.dvs_h5.prepare_frame_storage(
+                n_frames, frame_ts, self.output_height, self.output_width
+            )
+
+    def cleanup(self) -> None:
+        for sink in (self.dvs_h5, self.dvs_aedat2, self.dvs_aedat4, self.dvs_text):
+            if sink is not None:
+                try:
+                    sink.close()
+                except Exception:
+                    pass
+        for vw in self._video_writers.values():
+            vw.release()
+        self._video_writers = {}
+        if self.record_single_pixel_states is not None:
+            self.save_recorded_single_pixel_states()

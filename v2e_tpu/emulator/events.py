@@ -1,0 +1,158 @@
+"""Host-side materialization of AER event lists from dense count maps.
+
+The device returns, per frame, a signed per-pixel event-count map plus the
+closed-form sub-frame timing descriptors (first iteration ``i0``, stride,
+grid size ``K``).  This module expands those into the reference-compatible
+AER array ``[N, 4] = [t, x, y, p]`` with the same timestamp pyramid and
+ordering semantics as the reference hot loop
+(/root/reference/v2ecore/emulator.py:773-923):
+
+* per frame, candidate timestamps form the uniform grid
+  ``ts[i] = t_prev + (i+1) * dt/K``  (torch.linspace equivalent, :793-796),
+* events are ordered iteration-major; within an iteration the reference
+  shuffles randomly (:868-869) — reproduced here via a seeded permutation,
+* Bernoulli shot-noise events are appended last with timestamp ``ts[-1]``
+  (ON pixels in raster order, then OFF; :906-916), and labeled noise=0 when
+  signal/noise labeling is requested.
+
+Timestamps are emitted in float64 (chunk origin is tracked on the host),
+improving on the reference's float32 event times.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def materialize_frame(
+    ev_count: np.ndarray,
+    i0: np.ndarray,
+    stride: int,
+    K: int,
+    t_prev: float,
+    t_frame: float,
+    shot_on: Optional[np.ndarray] = None,
+    shot_off: Optional[np.ndarray] = None,
+    rng: Optional[np.random.Generator] = None,
+    label_signal_noise: bool = False,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """Materialize one frame's events.
+
+    Args:
+      ev_count: i16[H,W] signed final counts (+ON / -OFF).
+      i0: i16[H,W] first emitted iteration per pixel.
+      stride: iteration stride between a pixel's successive events.
+      K: sub-frame timestamp grid size (max candidate count).
+      t_prev, t_frame: absolute interval bounds in float64 seconds.
+      shot_on, shot_off: optional bool[H,W] shot-noise maps.
+      rng: numpy Generator for the within-iteration shuffle (None = no shuffle).
+      label_signal_noise: also return a bool[N] signal(1)/noise(0) array.
+
+    Returns:
+      (events f64[N,4], labels bool[N] or None)
+    """
+    H, W = ev_count.shape
+    dt = t_frame - t_prev
+    s = dt / max(int(K), 1)
+
+    c = ev_count.ravel().astype(np.int64)
+    nz = np.flatnonzero(c)
+    parts = []
+    labels = []
+
+    if nz.size:
+        cc = np.abs(c[nz])
+        pol = np.where(c[nz] > 0, 1.0, -1.0)
+        i0f = i0.ravel()[nz].astype(np.int64)
+        tot = int(cc.sum())
+        rep = np.repeat(np.arange(nz.size), cc)
+        offsets = np.concatenate(([0], np.cumsum(cc)))
+        j = np.arange(tot, dtype=np.int64) - offsets[rep]
+        iteration = i0f[rep] + j * int(stride)
+        if rng is not None:
+            order = np.lexsort((rng.random(tot), iteration))
+        else:
+            order = np.argsort(iteration, kind="stable")
+        pix = nz[rep][order]
+        it = iteration[order]
+        ev = np.empty((tot, 4), dtype=np.float64)
+        ev[:, 0] = t_prev + (it + 1) * s
+        ev[:, 1] = pix % W
+        ev[:, 2] = pix // W
+        ev[:, 3] = pol[rep][order]
+        parts.append(ev)
+        if label_signal_noise:
+            labels.append(np.ones(tot, dtype=bool))
+
+    if shot_on is not None:
+        on_pix = np.flatnonzero(shot_on.ravel())
+        off_pix = np.flatnonzero(shot_off.ravel())
+        n_shot = on_pix.size + off_pix.size
+        if n_shot:
+            ev = np.empty((n_shot, 4), dtype=np.float64)
+            ev[:, 0] = t_frame  # = ts[-1], reference emulator.py:910
+            ev[: on_pix.size, 1] = on_pix % W
+            ev[: on_pix.size, 2] = on_pix // W
+            ev[: on_pix.size, 3] = 1.0
+            ev[on_pix.size :, 1] = off_pix % W
+            ev[on_pix.size :, 2] = off_pix // W
+            ev[on_pix.size :, 3] = -1.0
+            parts.append(ev)
+            if label_signal_noise:
+                labels.append(np.zeros(n_shot, dtype=bool))
+
+    if not parts:
+        empty = np.empty((0, 4), dtype=np.float64)
+        return empty, (np.empty(0, dtype=bool) if label_signal_noise else None)
+    events = np.concatenate(parts) if len(parts) > 1 else parts[0]
+    lab = None
+    if label_signal_noise:
+        lab = np.concatenate(labels) if len(labels) > 1 else labels[0]
+    return events, lab
+
+
+def materialize_events(
+    outs: Dict[str, np.ndarray],
+    t_origin: float,
+    rng: Optional[np.random.Generator] = None,
+    label_signal_noise: bool = False,
+) -> Tuple[np.ndarray, Optional[np.ndarray], np.ndarray]:
+    """Materialize a whole chunk of frames.
+
+    Args:
+      outs: stacked per-frame outputs of `emulate_chunk`, as numpy arrays
+        (leading axis F).
+      t_origin: absolute float64 time of the chunk origin — added to the
+        chunk-relative device times.
+
+    Returns:
+      (events f64[N,4], labels bool[N] or None, frame_offsets i64[F+1]):
+      events of all frames concatenated in time order; ``events[frame_offsets
+      [f]:frame_offsets[f+1]]`` are frame ``f``'s events.
+    """
+    F = outs["ev_count"].shape[0]
+    has_shot = "shot_on" in outs
+    parts = []
+    labels = []
+    offsets = np.zeros(F + 1, dtype=np.int64)
+    for f in range(F):
+        ev, lab = materialize_frame(
+            outs["ev_count"][f],
+            outs["i0"][f],
+            int(outs["stride"][f]),
+            int(outs["K"][f]),
+            t_origin + float(outs["t_prev"][f]),
+            t_origin + float(outs["t_frame"][f]),
+            shot_on=outs["shot_on"][f] if has_shot else None,
+            shot_off=outs["shot_off"][f] if has_shot else None,
+            rng=rng,
+            label_signal_noise=label_signal_noise,
+        )
+        offsets[f + 1] = offsets[f] + ev.shape[0]
+        parts.append(ev)
+        if label_signal_noise:
+            labels.append(lab)
+    events = np.concatenate(parts) if parts else np.empty((0, 4), dtype=np.float64)
+    lab = np.concatenate(labels) if (label_signal_noise and labels) else None
+    return events, lab, offsets

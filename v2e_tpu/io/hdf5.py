@@ -1,0 +1,88 @@
+"""HDF5 event database writer (DDD-style layout).
+
+Matches the datasets the reference emulator creates inline
+(/root/reference/v2ecore/emulator.py:313-325, 374-400, 953-983):
+
+* ``events``: uint32 [N,4] — (t_us, x, y, p(0/1)), gzip, appendable
+* optional DDD frame storage: ``frame`` uint8 [F,H,W], ``frame_ts`` uint32
+  [F] (us), ``frame_idx`` uint64 [F] (event index at each frame)
+"""
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class DVSH5Output:
+    def __init__(self, filepath: str):
+        import h5py
+
+        self.filepath = filepath
+        self.file = h5py.File(filepath, "w")
+        self.events_dataset = self.file.create_dataset(
+            name="events",
+            shape=(0, 4),
+            maxshape=(None, 4),
+            dtype="uint32",
+            compression="gzip",
+        )
+        self.frame_dataset = None
+        self.frame_ts_dataset = None
+        self.frame_ev_idx_dataset = None
+        self.numEventsWritten = 0
+        self._frame_counter = 0
+
+    def prepare_frame_storage(
+        self, n_frames: int, frame_ts: Sequence[float], height: int, width: int
+    ) -> None:
+        """Create the DDD-style frame datasets (reference prepare_storage)."""
+        self.frame_dataset = self.file.create_dataset(
+            name="frame", shape=(n_frames, height, width), dtype="uint8",
+            compression="gzip",
+        )
+        ts_us = (np.asarray(frame_ts, dtype=np.float64) * 1e6).astype(np.uint32)
+        self.frame_ts_dataset = self.file.create_dataset(
+            name="frame_ts", shape=(n_frames,), data=ts_us, dtype="uint32",
+            compression="gzip",
+        )
+        self.frame_ev_idx_dataset = self.file.create_dataset(
+            name="frame_idx", shape=(n_frames,), dtype="uint64",
+            compression="gzip",
+        )
+
+    def appendFrame(self, frame: np.ndarray) -> None:
+        if self.frame_dataset is not None:
+            self.frame_dataset[self._frame_counter] = frame.astype(np.uint8)
+        if self.frame_ev_idx_dataset is not None:
+            self.frame_ev_idx_dataset[self._frame_counter] = self.numEventsWritten
+        self._frame_counter += 1
+
+    def appendEvents(
+        self, events: np.ndarray, signnoise_label: Optional[np.ndarray] = None
+    ) -> None:
+        if len(events) == 0:
+            return
+        tmp = np.empty((events.shape[0], 4), dtype=np.float64)
+        tmp[:, 0] = events[:, 0] * 1e6
+        tmp[:, 1:] = events[:, 1:]
+        tmp[tmp[:, 3] == -1, 3] = 0
+        tmp_u32 = tmp.astype(np.uint32)
+        n0 = self.events_dataset.shape[0]
+        self.events_dataset.resize(n0 + tmp_u32.shape[0], axis=0)
+        self.events_dataset[n0:] = tmp_u32
+        self.numEventsWritten += tmp_u32.shape[0]
+
+    def close(self) -> None:
+        if self.file is not None:
+            logger.info(
+                f"closing {self.filepath} after writing {self.numEventsWritten} events"
+            )
+            self.file.close()
+            self.file = None
+
+    def cleanup(self) -> None:
+        self.close()
