@@ -24,6 +24,8 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
+from v2e_tpu.native import get_lib
+
 
 def materialize_frame(
     ev_count: np.ndarray,
@@ -55,6 +57,22 @@ def materialize_frame(
     H, W = ev_count.shape
     dt = t_frame - t_prev
     s = dt / max(int(K), 1)
+
+    lib = get_lib()
+    if lib is not None:
+        ev, lab = _materialize_frame_native(
+            lib, ev_count, i0, stride, K, t_prev, s, t_frame,
+            shot_on, shot_off, label_signal_noise,
+        )
+        if rng is not None and ev.shape[0] > 1:
+            # shuffle ties: stable in time, random within equal timestamps
+            # (reference shuffles within each sub-frame iteration,
+            # emulator.py:868-869)
+            order = np.lexsort((rng.random(ev.shape[0]), ev[:, 0]))
+            ev = ev[order]
+            if lab is not None:
+                lab = lab[order]
+        return ev, lab
 
     c = ev_count.ravel().astype(np.int64)
     nz = np.flatnonzero(c)
@@ -110,6 +128,51 @@ def materialize_frame(
     if label_signal_noise:
         lab = np.concatenate(labels) if len(labels) > 1 else labels[0]
     return events, lab
+
+
+def _materialize_frame_native(
+    lib,
+    ev_count: np.ndarray,
+    i0: np.ndarray,
+    stride: int,
+    K: int,
+    t_prev: float,
+    s: float,
+    t_frame: float,
+    shot_on: Optional[np.ndarray],
+    shot_off: Optional[np.ndarray],
+    label_signal_noise: bool,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    H, W = ev_count.shape
+    cmap = np.ascontiguousarray(ev_count, dtype=np.int16)
+    i0map = np.ascontiguousarray(i0, dtype=np.int16)
+    on_u8 = off_u8 = None
+    on_ptr = off_ptr = None
+    if shot_on is not None:
+        on_u8 = np.ascontiguousarray(shot_on, dtype=np.uint8)
+        off_u8 = np.ascontiguousarray(shot_off, dtype=np.uint8)
+        on_ptr = on_u8.ctypes.data
+        off_ptr = off_u8.ctypes.data
+    total = int(
+        lib.count_frame_events(cmap.ravel(), H * W, on_ptr, off_ptr)
+    )
+    out = np.empty((total, 4), dtype=np.float64)
+    lab = np.empty(total, dtype=np.uint8) if label_signal_noise else None
+    lab_ptr = lab.ctypes.data if lab is not None else None
+    written = int(
+        lib.materialize_frame(
+            cmap.ravel(), i0map.ravel(), int(stride), H, W,
+            float(t_prev), float(s), float(t_frame),
+            on_ptr, off_ptr, int(K),
+            out.reshape(-1), lab_ptr, total,
+        )
+    )
+    if written < 0:
+        raise RuntimeError("native materialize_frame capacity overflow")
+    out = out[:written]
+    if lab is not None:
+        lab = lab[:written].astype(bool)
+    return out, lab
 
 
 def materialize_events(
