@@ -191,7 +191,7 @@ class TestNoise:
         from v2e_tpu.emulator.events import materialize_frame
 
         ev, lab = materialize_frame(
-            np.zeros(shape, np.int16), np.zeros(shape, np.int16), 1, 0,
+            np.zeros((4, 4), np.int16), np.zeros((4, 4), np.int16), 1, 0,
             0.0, 0.01,
             shot_on=np.eye(4, dtype=bool), shot_off=np.zeros((4, 4), bool),
             label_signal_noise=True,

@@ -144,6 +144,10 @@ def _materialize_frame_native(
     label_signal_noise: bool,
 ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     H, W = ev_count.shape
+    if shot_on is not None and shot_on.shape != ev_count.shape:
+        raise ValueError(
+            f"shot map shape {shot_on.shape} != count map shape {ev_count.shape}"
+        )
     cmap = np.ascontiguousarray(ev_count, dtype=np.int16)
     i0map = np.ascontiguousarray(i0, dtype=np.int16)
     on_u8 = off_u8 = None
