@@ -313,7 +313,9 @@ class EventEmulator:
 
         Returns concatenated events of the chunk (None if none).
         """
-        frames = np.asarray(frames)
+        # device arrays (e.g. SloMo output) stay on device — no host round trip
+        if not isinstance(frames, jnp.ndarray):
+            frames = np.asarray(frames)
         times = np.asarray(times, dtype=np.float64)
         if frames.ndim != 3 or frames.shape[0] != times.shape[0]:
             raise ValueError("frames must be [F,H,W] matching times [F]")

@@ -1,0 +1,52 @@
+"""Bilinear backwarping (inverse-flow image sampling).
+
+Matches torch ``grid_sample(img, grid)`` with its default
+``align_corners=False`` and zero padding, as used by the reference's
+backWarp module (/root/reference/v2ecore/model.py:229-300).  With the
+reference's grid construction ``g = 2*((p + flow)/S - 0.5)``, the
+align_corners=False unnormalization ``((g+1)*S - 1)/2`` lands on
+``p + flow - 0.5`` — i.e. the sampling carries an inherited half-pixel
+offset, reproduced here exactly for checkpoint parity.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def backwarp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Sample ``img`` at ``(x + u - 0.5, y + v - 0.5)`` bilinearly.
+
+    Args:
+      img: [N, C, H, W]
+      flow: [N, 2, H, W] with channel 0 = u (x displacement), 1 = v.
+
+    Returns [N, C, H, W]; out-of-bounds taps contribute zero.
+    """
+    n, c, H, W = img.shape
+    gx = jnp.arange(W, dtype=img.dtype)[None, None, :]
+    gy = jnp.arange(H, dtype=img.dtype)[None, :, None]
+    x = gx + flow[:, 0] - 0.5  # [N,H,W]
+    y = gy + flow[:, 1] - 0.5
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    def tap(xi, yi, w):
+        inb = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        xc = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yc = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        flat = (yc * W + xc)[:, None, :, :]  # [N,1,H,W]
+        vals = jnp.take_along_axis(
+            img.reshape(n, c, H * W), flat.reshape(n, 1, H * W), axis=2
+        ).reshape(n, c, H, W)
+        return vals * (w * inb.astype(img.dtype))[:, None, :, :]
+
+    out = (
+        tap(x0, y0, (1 - wx) * (1 - wy))
+        + tap(x0 + 1, y0, wx * (1 - wy))
+        + tap(x0, y0 + 1, (1 - wx) * wy)
+        + tap(x0 + 1, y0 + 1, wx * wy)
+    )
+    return out

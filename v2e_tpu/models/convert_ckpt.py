@@ -1,0 +1,88 @@
+"""SuperSloMo checkpoint handling: torch .ckpt -> JAX param dicts.
+
+The reference loads ``SuperSloMo39.ckpt`` with keys ``state_dictFC`` (flow
+UNet(2,4)) and ``state_dictAT`` (interpolation UNet(12,5))
+(/root/reference/v2ecore/slomo.py:225-227).  `convert_torch_checkpoint`
+maps those tensors 1:1 into the functional UNet param layout (same OIHW
+kernels, no transposition needed) and saves a portable ``.npz``;
+`load_slomo_params` accepts either the torch file or the converted npz.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from v2e_tpu.models.unet import Params, UNetSpec, init_unet
+
+logger = logging.getLogger(__name__)
+
+FLOW_SPEC = UNetSpec(2, 4)
+INTERP_SPEC = UNetSpec(12, 5)
+
+# torch module attribute path -> our layer name is the identity apart from
+# separator ('down1.conv1.weight' -> params['down1.conv1']['w'])
+_TORCH_SUFFIX = {"weight": "w", "bias": "b"}
+
+
+def _torch_state_to_params(state: Dict[str, "np.ndarray"], spec: UNetSpec) -> Params:
+    params: Params = {}
+    for name, ci, co, k in spec.conv_specs:
+        w = np.asarray(state[f"{name}.weight"])
+        b = np.asarray(state[f"{name}.bias"])
+        if w.shape != (co, ci, k, k):
+            raise ValueError(f"{name}: checkpoint shape {w.shape} != {(co, ci, k, k)}")
+        params[name] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+    return params
+
+
+def convert_torch_checkpoint(ckpt_path: str, out_path: str) -> str:
+    """One-time conversion of the torch checkpoint to .npz."""
+    import torch
+
+    d = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    flow_state = {k: v.numpy() for k, v in d["state_dictFC"].items()}
+    interp_state = {k: v.numpy() for k, v in d["state_dictAT"].items()}
+    out = {}
+    for prefix, state in (("flow", flow_state), ("interp", interp_state)):
+        for k, v in state.items():
+            out[f"{prefix}/{k}"] = v
+    np.savez(out_path, **out)
+    logger.info(f"converted {ckpt_path} -> {out_path}")
+    return out_path
+
+
+def _npz_to_params(npz, prefix: str, spec: UNetSpec) -> Params:
+    state = {
+        k[len(prefix) + 1 :]: npz[k] for k in npz.files if k.startswith(prefix + "/")
+    }
+    return _torch_state_to_params(state, spec)
+
+
+def load_slomo_params(path: str) -> Tuple[Params, Params]:
+    """Load (flow_params, interp_params) from .npz or torch .ckpt."""
+    if path.endswith(".npz"):
+        npz = np.load(path)
+        return _npz_to_params(npz, "flow", FLOW_SPEC), _npz_to_params(
+            npz, "interp", INTERP_SPEC
+        )
+    import torch
+
+    d = torch.load(path, map_location="cpu", weights_only=False)
+    flow = _torch_state_to_params(
+        {k: v.numpy() for k, v in d["state_dictFC"].items()}, FLOW_SPEC
+    )
+    interp = _torch_state_to_params(
+        {k: v.numpy() for k, v in d["state_dictAT"].items()}, INTERP_SPEC
+    )
+    return flow, interp
+
+
+def init_random_slomo_params(seed: int = 0) -> Tuple[Params, Params]:
+    """Random-initialized model (for benchmarks/tests without the ckpt)."""
+    k1, k2 = jax.random.split(jax.random.key(seed))
+    return init_unet(k1, FLOW_SPEC), init_unet(k2, INTERP_SPEC)

@@ -1,0 +1,129 @@
+"""Fused SloMo→emulator streaming pipeline.
+
+This is the on-chip replacement for the reference's three disk-mediated
+stages (v2e.py:687-850): source frames are chunked into overlapping windows
+of batch_size+1, interpolated U-fold on device, and the interpolated stack
+feeds the emulator scan WITHOUT returning to the host — only the compact
+per-frame event count maps do.  At 800x upsampling the reference writes and
+re-reads ~220k PNGs per second of video (README.md:38-41); here that
+traffic simply does not exist.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, Iterator, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from v2e_tpu.models.slomo import SuperSloMo
+
+logger = logging.getLogger(__name__)
+
+
+def run_interpolated_pipeline(
+    args,
+    frames_iter: Iterator[np.ndarray],
+    src_frame_interval: float,
+    emulator,
+    renderer,
+    exposure_mode,
+    output_width: int,
+    output_height: int,
+    stats,
+    upsampling_factor: int,
+    auto_upsample: bool,
+    feed_renderer: Callable,
+) -> None:
+    from tqdm import tqdm
+
+    slomo = SuperSloMo(
+        model=args.slomo_model,
+        auto_upsample=auto_upsample,
+        upsampling_factor=upsampling_factor,
+        batch_size=args.batch_size,
+    )
+
+    write_video = not args.skip_video_output
+    orig_writer = slomo_writer = None
+    if write_video and (args.vid_orig or args.vid_slomo):
+        import cv2
+
+        from v2e_tpu.utils.video import video_writer
+
+        if args.vid_orig:
+            orig_writer = video_writer(
+                os.path.join(args.output_folder, args.vid_orig),
+                output_height, output_width, frame_rate=args.avi_frame_rate,
+            )
+        if args.vid_slomo:
+            slomo_writer = video_writer(
+                os.path.join(args.output_folder, args.vid_slomo),
+                output_height, output_width, frame_rate=args.avi_frame_rate,
+            )
+
+    window: List[np.ndarray] = []
+    pair_index = 0  # global index of the first pair in the current window
+    pbar = tqdm(desc="slomo+dvs", unit="src fr")
+
+    def process_window() -> None:
+        nonlocal pair_index
+        if len(window) < 2:
+            return
+        chunk = np.stack(window)
+        interp, U = slomo.interpolate_batch(
+            jnp.asarray(chunk), output_height, output_width
+        )
+        n_pairs = chunk.shape[0] - 1
+        n_out = n_pairs * U
+        # output frame k*U+i of pair k sits at source-unit time k + i/U
+        # (reference slomo.py:389-400)
+        rel = np.arange(n_out, dtype=np.float64) / U
+        times = (pair_index + rel) * src_frame_interval
+
+        events = emulator.generate_events_batch(interp, times)
+        if events is not None:
+            feed_renderer(
+                renderer, events, None, exposure_mode,
+                output_height, output_width, args.skip_video_output,
+            )
+
+        if orig_writer is not None or slomo_writer is not None:
+            import cv2
+
+            if orig_writer is not None:
+                for fr in window[:-1]:
+                    orig_writer.write(
+                        cv2.cvtColor(fr.astype(np.uint8), cv2.COLOR_GRAY2BGR)
+                    )
+            if slomo_writer is not None:
+                host = np.asarray(interp).astype(np.uint8)
+                for fr in host:
+                    slomo_writer.write(cv2.cvtColor(fr, cv2.COLOR_GRAY2BGR))
+
+        stats.n_frames += n_out
+        if stats.first_ts is None:
+            stats.first_ts = times[0]
+        stats.last_ts = times[-1]
+        pair_index += n_pairs
+        # carry the last source frame as the seed of the next window
+        last = window[-1]
+        window.clear()
+        window.append(last)
+
+    for frame in frames_iter:
+        window.append(frame)
+        pbar.update(1)
+        if len(window) >= args.batch_size + 1:
+            process_window()
+    process_window()
+    pbar.close()
+
+    if orig_writer is not None:
+        orig_writer.release()
+    if slomo_writer is not None:
+        slomo_writer.release()
+    logger.info(
+        f"SloMo average upsampling factor: {slomo.avg_upsampling_factor:.1f}"
+    )

@@ -1,0 +1,311 @@
+"""SuperSloMo frame interpolation engine (JAX, device-resident).
+
+Implements the reference's interpolation math
+(/root/reference/v2ecore/slomo.py:231-495):
+
+* flow UNet on frame pairs -> bidirectional flows F_0_1, F_1_0
+* per intermediate time t=(i+0.5)/U: blend flows, backwarp both frames,
+  refinement UNet -> flow residuals + visibility map, visibility-weighted
+  blend.  Each batch of pairs is upsampled U-fold with a ``lax.scan`` over
+  the U intermediate times (memory stays bounded at one batch of frames).
+* auto-upsampling: U = ceil(max flow magnitude) so motion is <= 1 px per
+  interpolated frame (slomo.py:352-379).  To keep XLA recompiles bounded,
+  the data-dependent U is rounded up into a fixed bucket ladder — finer
+  timestamps than requested, never coarser.
+
+Unlike the reference there are no PNG round-trips: interpolated frames stay
+on device and feed the event emulator directly (see models/pipeline.py).
+A file-based ``interpolate(src_dir, out_dir, size)`` compatibility wrapper
+is provided for the dataset tooling.
+"""
+from __future__ import annotations
+
+import functools
+import logging
+import math
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from v2e_tpu.models.backwarp import backwarp
+from v2e_tpu.models.convert_ckpt import init_random_slomo_params, load_slomo_params
+from v2e_tpu.models.unet import unet_apply
+
+logger = logging.getLogger(__name__)
+
+# dataset normalization mean (reference slomo.py:148)
+MEAN = 0.428
+
+# Bucket ladder for the data-dependent auto-upsampling factor: ~1.5x steps,
+# so at most ~19 distinct compiled programs and never more than 50% extra
+# interpolated frames.
+UPSAMPLE_BUCKETS = (
+    2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
+)
+
+
+def bucket_upsampling_factor(u: int) -> int:
+    for b in UPSAMPLE_BUCKETS:
+        if b >= u:
+            return b
+    return UPSAMPLE_BUCKETS[-1]
+
+
+def snap32(x: int) -> int:
+    """Snap a dimension down to a multiple of 32 (reference dataloader.py:46)."""
+    return max(32, int(x / 32) * 32)
+
+
+@functools.partial(jax.jit, static_argnums=())
+def compute_flow(flow_params, I0: jnp.ndarray, I1: jnp.ndarray) -> jnp.ndarray:
+    """Run the flow UNet on a batch of normalized pairs. Returns [B,4,h,w]."""
+    return unet_apply(flow_params, jnp.concatenate([I0, I1], axis=1))
+
+
+def max_flow_speed(flow_out: jnp.ndarray) -> jnp.ndarray:
+    """Max flow magnitude over both directions/batch (pixels per interframe)."""
+    u01, v01 = flow_out[:, 0], flow_out[:, 1]
+    u10, v10 = flow_out[:, 2], flow_out[:, 3]
+    sp = jnp.maximum(u01 * u01 + v01 * v01, u10 * u10 + v10 * v10)
+    return jnp.sqrt(jnp.max(sp))
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def interpolate_pairs(
+    flow_params,
+    interp_params,
+    I0: jnp.ndarray,
+    I1: jnp.ndarray,
+    upsampling_factor: int,
+    flow_out: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Interpolate U intermediate frames for each pair in the batch.
+
+    Args:
+      I0, I1: [B,1,h,w] normalized (0-1 minus MEAN) frame pairs.
+      upsampling_factor: static U >= 2.
+      flow_out: optionally reuse a precomputed flow UNet output.
+
+    Returns [B, U, 1, h, w] normalized interpolated frames at times
+    t=(i+0.5)/U between each pair (the reference's half-sample offset,
+    slomo.py:405).
+    """
+    if flow_out is None:
+        flow_out = unet_apply(flow_params, jnp.concatenate([I0, I1], axis=1))
+    F01 = flow_out[:, :2]
+    F10 = flow_out[:, 2:]
+    U = upsampling_factor
+    ts = (jnp.arange(U, dtype=jnp.float32) + 0.5) / U
+
+    def step(_, t):
+        tmp = -t * (1.0 - t)
+        F_t_0 = tmp * F01 + (t * t) * F10
+        F_t_1 = ((1.0 - t) * (1.0 - t)) * F01 + tmp * F10
+        g0 = backwarp(I0, F_t_0)
+        g1 = backwarp(I1, F_t_1)
+        intrp = unet_apply(
+            interp_params,
+            jnp.concatenate([I0, I1, F01, F10, F_t_1, F_t_0, g1, g0], axis=1),
+        )
+        F_t_0_f = intrp[:, 0:2] + F_t_0
+        F_t_1_f = intrp[:, 2:4] + F_t_1
+        V0 = jax.nn.sigmoid(intrp[:, 4:5])
+        V1 = 1.0 - V0
+        g0f = backwarp(I0, F_t_0_f)
+        g1f = backwarp(I1, F_t_1_f)
+        w0 = (1.0 - t) * V0
+        w1 = t * V1
+        Ft_p = (w0 * g0f + w1 * g1f) / (w0 + w1)
+        return None, Ft_p
+
+    _, frames = jax.lax.scan(step, None, ts)  # [U,B,1,h,w]
+    return jnp.moveaxis(frames, 0, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def preprocess_frames(frames: jnp.ndarray, h32: int, w32: int) -> jnp.ndarray:
+    """0-255 [N,H,W] -> normalized [N,1,h32,w32] (resize + scale + demean)."""
+    n = frames.shape[0]
+    x = frames.astype(jnp.float32) / 255.0 - MEAN
+    x = x[:, None, :, :]
+    if (h32, w32) != frames.shape[1:]:
+        x = jax.image.resize(x, (n, 1, h32, w32), method="lanczos3")
+    return x
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def postprocess_frames(
+    interp: jnp.ndarray, H: int, W: int, quantize: bool = True
+) -> jnp.ndarray:
+    """[B,U,1,h,w] normalized -> [B*U,H,W] 0-255 float32, time-ordered.
+
+    Resizes back to the output dimensions (bilinear, like the reference's
+    PIL resize, slomo.py:438) and optionally rounds to 8-bit levels to match
+    the reference's PNG round-trip quantization.
+    """
+    B, U = interp.shape[:2]
+    x = interp.reshape(B * U, 1, interp.shape[3], interp.shape[4])
+    if (interp.shape[3], interp.shape[4]) != (H, W):
+        x = jax.image.resize(x, (B * U, 1, H, W), method="bilinear")
+    x = (x[:, 0] + MEAN) * 255.0
+    x = jnp.clip(x, 0.0, 255.0)
+    if quantize:
+        x = jnp.round(x)
+    return x
+
+
+class SuperSloMo:
+    """Batched frame-pair interpolation engine.
+
+    API mirrors the reference class (slomo.py:37-229) minus torch/PNG
+    plumbing: construct with a checkpoint path (torch .ckpt or converted
+    .npz; None = random weights), then either use the device API
+    ``interpolate_batch`` or the file API ``interpolate``.
+    """
+
+    def __init__(
+        self,
+        model: Optional[str],
+        auto_upsample: bool,
+        upsampling_factor: Optional[int] = None,
+        batch_size: int = 8,
+        video_path: Optional[str] = None,
+        vid_orig: Optional[str] = "original.avi",
+        vid_slomo: Optional[str] = "slomo.avi",
+        preview: bool = False,
+        avi_frame_rate: int = 30,
+    ):
+        if not auto_upsample and (
+            not isinstance(upsampling_factor, int) or upsampling_factor < 2
+        ):
+            raise ValueError(
+                f"upsampling_factor={upsampling_factor} must be an int > 1 "
+                "when auto_upsample=False"
+            )
+        self.auto_upsample = auto_upsample
+        self.upsampling_factor = upsampling_factor
+        self.batch_size = batch_size
+        self.video_path = video_path
+        self.vid_orig = vid_orig
+        self.vid_slomo = vid_slomo
+        self.avi_frame_rate = avi_frame_rate
+        self.upsampling_sum = 0
+        self.upsampling_samples = 0
+
+        if model is not None and os.path.isfile(model):
+            self.flow_params, self.interp_params = load_slomo_params(model)
+            logger.info(f"loaded SuperSloMo weights from {model}")
+        else:
+            if model is not None:
+                logger.warning(
+                    f"SuperSloMo checkpoint {model} not found; using random "
+                    "weights (interpolation quality will be meaningless — "
+                    "convert the reference ckpt with "
+                    "v2e_tpu.models.convert_ckpt)"
+                )
+            self.flow_params, self.interp_params = init_random_slomo_params()
+
+    # ------------------------------------------------------------------
+    def choose_upsampling(self, flow_out: jnp.ndarray) -> int:
+        """Pick U for this batch (auto mode: from max flow, bucketed)."""
+        if not self.auto_upsample:
+            u = self.upsampling_factor
+        else:
+            max_speed = float(max_flow_speed(flow_out))
+            u = int(math.ceil(max_speed))
+            if self.upsampling_factor is not None and self.upsampling_factor > u:
+                u = self.upsampling_factor
+            u = bucket_upsampling_factor(max(u, 2))
+        u = max(u, 2)
+        self.upsampling_sum += u
+        self.upsampling_samples += 1
+        return u
+
+    @property
+    def avg_upsampling_factor(self) -> float:
+        if self.upsampling_samples == 0:
+            return float(self.upsampling_factor or 0)
+        return self.upsampling_sum / self.upsampling_samples
+
+    def interpolate_batch(
+        self, frames: jnp.ndarray, H: int, W: int, quantize: bool = True
+    ) -> Tuple[jnp.ndarray, int]:
+        """Interpolate a chunk of consecutive source frames.
+
+        Args:
+          frames: [N,H,W] 0-255 source frames (N>=2); pairs are
+            (0,1),(1,2),...,(N-2,N-1).
+
+        Returns (interp [ (N-1)*U, H, W ] 0-255 float32 device array, U).
+        Output frame k*U+i sits at source-unit time k + i/U; the final
+        source frame is NOT included (it seeds the next chunk), matching
+        the reference's chunking contract (slomo.py:243-260).
+        """
+        h32, w32 = snap32(H), snap32(W)
+        x = preprocess_frames(frames, h32, w32)
+        I0, I1 = x[:-1], x[1:]
+        flow_out = compute_flow(self.flow_params, I0, I1)
+        U = self.choose_upsampling(flow_out)
+        interp = interpolate_pairs(
+            self.flow_params, self.interp_params, I0, I1, U, flow_out=flow_out
+        )
+        out = postprocess_frames(interp, H, W, quantize)
+        return out, U
+
+    # ------------------------------------------------------------------
+    def interpolate(
+        self, source_frame_path: str, output_folder: str, frame_size
+    ) -> Tuple[np.ndarray, float]:
+        """File-based compatibility API: read .npy frames from a folder,
+        write interpolated PNGs numbered 0..M-1, return (interpTimes,
+        avg_upsampling_factor) — the reference's contract
+        (slomo.py:231-495) for the dataset tooling."""
+        import cv2
+
+        files = sorted(
+            (f for f in os.listdir(source_frame_path) if f.endswith(".npy")),
+            key=lambda s: int(os.path.splitext(s)[0]) if os.path.splitext(s)[0].isdigit() else 0,
+        )
+        if len(files) < 2:
+            raise ValueError(
+                f"need at least 2 source frames in {source_frame_path}"
+            )
+        frames = np.stack(
+            [np.load(os.path.join(source_frame_path, f)) for f in files]
+        ).astype(np.float32)
+        W, H = frame_size
+        os.makedirs(output_folder, exist_ok=True)
+
+        interp_times = []
+        out_idx = 0
+        input_counter = 0
+        B = self.batch_size
+        for s in range(0, len(frames) - 1, B):
+            chunk = frames[s : s + B + 1]
+            if chunk.shape[0] < 2:
+                break
+            out, U = self.interpolate_batch(jnp.asarray(chunk), H, W)
+            out_np = np.asarray(out).astype(np.uint8)
+            n_pairs = chunk.shape[0] - 1
+            for k in range(out_np.shape[0]):
+                cv2.imwrite(os.path.join(output_folder, f"{out_idx}.png"), out_np[k])
+                interp_times.append(input_counter + (k % U) / U + (k // U))
+                out_idx += 1
+            input_counter += n_pairs
+        return np.array(interp_times), self.avg_upsampling_factor
+
+    def get_interpolated_timestamps(self, ts: np.ndarray) -> np.ndarray:
+        """Interpolate real timestamps U-fold with the half-sample offset
+        (reference slomo.py:540-564)."""
+        U = self.upsampling_factor or 2
+        out = []
+        for i in range(ts.shape[0] - 1):
+            start, end = ts[i], ts[i + 1]
+            out.append(
+                np.linspace(start, end, U, endpoint=False)
+                + 0.5 * (end - start) / U
+            )
+        return np.hstack(out)
