@@ -1,0 +1,116 @@
+"""Headline benchmark: 346x260 video conversion at 10x slowdown, SloMo on.
+
+Reproduces the reference's headline workload (README.md:33-35: 346x260
+source with SuperSloMo 10x upsampling, which a GTX-1050 converts 50-200x
+SLOWER than real time) on one TPU chip: source frames are interpolated
+10-fold by the SuperSloMo UNets and scanned through the full DVS emulator
+(threshold mismatch, lowpass, leak+shot noise), with events materialized to
+AER on the host.  Reported value is the realtime factor (DVS seconds
+converted per wall second); vs_baseline is measured against the reference's
+BEST case (1/50 realtime).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_source_frames(n: int, H: int, W: int, seed: int = 0) -> np.ndarray:
+    """Synthetic 30fps source: drifting sinusoidal texture + moving bright
+    blob, so flow and events are non-trivial everywhere."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = 100 + 40 * np.sin(xx / 17.0) * np.cos(yy / 13.0)
+    frames = np.empty((n, H, W), dtype=np.float32)
+    for i in range(n):
+        shift = 2.0 * i  # ~2 px/frame drift
+        fr = 100 + 40 * np.sin((xx + shift) / 17.0) * np.cos(yy / 13.0)
+        cx = (W / 4 + 5 * i) % W
+        cy = H / 2
+        blob = 80 * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 15.0**2)))
+        frames[i] = np.clip(fr + blob, 0, 255)
+    return frames
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from v2e_tpu.emulator import EventEmulator
+    from v2e_tpu.models.pipeline import run_interpolated_pipeline  # noqa: F401
+    from v2e_tpu.models.slomo import SuperSloMo
+
+    H, W = 260, 346
+    SRC_FPS = 30.0
+    U = 10  # 10x slowdown
+    B = 8  # pairs per chunk (reference default batch size)
+    N_WARM = 2
+    N_MEAS = 8
+
+    dev = jax.devices()[0]
+    print(f"# device: {dev}", file=sys.stderr)
+
+    slomo = SuperSloMo(model=None, auto_upsample=False, upsampling_factor=U,
+                       batch_size=B)
+    emulator = EventEmulator(
+        pos_thres=0.2, neg_thres=0.2, sigma_thres=0.03,
+        cutoff_hz=300.0, leak_rate_hz=0.01, shot_noise_rate_hz=0.001,
+        refractory_period_s=0.0005,
+        seed=42,
+        shuffle_events_within_iteration=False,
+    )
+
+    n_chunks = N_WARM + N_MEAS
+    src = make_source_frames(n_chunks * B + 1, H, W)
+    src_interval = 1.0 / SRC_FPS
+
+    total_events = 0
+    total_dvs_time = 0.0
+    wall = 0.0
+    pair_index = 0
+    for c in range(n_chunks):
+        chunk = src[c * B : c * B + B + 1]
+        t0 = time.perf_counter()
+        interp, u = slomo.interpolate_batch(jnp.asarray(chunk), H, W)
+        n_out = (chunk.shape[0] - 1) * u
+        times = (pair_index + np.arange(n_out, dtype=np.float64) / u) * src_interval
+        events = emulator.generate_events_batch(interp, times)
+        n_ev = 0 if events is None else events.shape[0]
+        t1 = time.perf_counter()
+        pair_index += chunk.shape[0] - 1
+        if c >= N_WARM:
+            wall += t1 - t0
+            total_events += n_ev
+            total_dvs_time += (chunk.shape[0] - 1) * src_interval
+        print(
+            f"# chunk {c}: {n_out} interp frames, {n_ev} events, "
+            f"{t1 - t0:.3f}s",
+            file=sys.stderr,
+        )
+
+    rt_factor = total_dvs_time / wall
+    meps = total_events / wall / 1e6
+    frames_per_s = (N_MEAS * B * U) / wall
+    # reference best case: 50x slower than real time on GTX-1050
+    vs_baseline = rt_factor / (1.0 / 50.0)
+    print(
+        f"# realtime factor {rt_factor:.3f}x | {meps:.2f} Meps | "
+        f"{frames_per_s:.0f} interp fr/s | events {total_events:,}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "realtime_factor_346x260_10x_slomo_1chip",
+        "value": round(rt_factor, 4),
+        "unit": "x_realtime",
+        "vs_baseline": round(vs_baseline, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from v2e_tpu.emulator.config import EmulatorConfig
-from v2e_tpu.emulator.core import emulate_chunk
-from v2e_tpu.emulator.events import materialize_events
+from v2e_tpu.emulator.core import compact_chunk, count_occupied, emulate_chunk
+from v2e_tpu.emulator.events import materialize_events_sparse
 from v2e_tpu.emulator.state import init_state, rebase_state
 from v2e_tpu.ops.noise import compute_photoreceptor_noise_voltage
 
@@ -57,6 +57,15 @@ _PROBE_KEYS = (
     "final_neg_evts_frame",
     "final_pos_evts_frame",
 )
+
+
+def _capacity_bucket(n: int) -> int:
+    """Next power-of-two capacity >= n (bounds the set of compiled
+    compaction programs)."""
+    cap = 4096
+    while cap < n:
+        cap *= 2
+    return cap
 
 
 class EventEmulator:
@@ -348,23 +357,48 @@ class EventEmulator:
         self.state, outs = emulate_chunk(
             self.cfg, self.params, self.state, chunk, rel_times
         )
-        outs_np = jax.device_get(outs)
 
-        events, labels, offsets = materialize_events(
-            outs_np,
-            self.t_origin,
-            rng=self._np_rng if self.shuffle else None,
-            label_signal_noise=self.label_signal_noise,
+        # Dense [F,H,W] maps stay on device; only per-frame scalars, the
+        # occupancy count, and the compacted sparse entries cross the
+        # (potentially slow) host link.
+        scal = jax.device_get(
+            {k: outs[k] for k in ("stride", "K", "t_prev", "t_frame",
+                                  "num_on", "num_off")}
         )
+        n_occ = int(count_occupied(self.cfg, outs))
+        H, W = chunk.shape[1:]
+        F = chunk.shape[0]
+        rng = self._np_rng if self.shuffle else None
+        if n_occ:
+            cap = _capacity_bucket(n_occ)
+            sparse = jax.device_get(compact_chunk(self.cfg, outs, cap))
+            events, labels, offsets = materialize_events_sparse(
+                sparse["idx"][:n_occ],
+                sparse["count"][:n_occ],
+                sparse["i0"][:n_occ],
+                sparse["shot"][:n_occ] if "shot" in sparse else None,
+                scal["stride"], scal["K"], scal["t_prev"], scal["t_frame"],
+                H, W, self.t_origin,
+                rng=rng,
+                label_signal_noise=self.label_signal_noise,
+            )
+        else:
+            events = np.empty((0, 4), dtype=np.float64)
+            labels = np.empty(0, dtype=bool) if self.label_signal_noise else None
+            offsets = np.zeros(F + 1, dtype=np.int64)
 
-        self.num_events_on += int(np.sum(outs_np["num_on"]))
-        self.num_events_off += int(np.sum(outs_np["num_off"]))
+        self.num_events_on += int(np.sum(scal["num_on"]))
+        self.num_events_off += int(np.sum(scal["num_off"]))
         self.num_events_total = self.num_events_on + self.num_events_off
         self.frame_counter += frames.shape[0] - start
         self.t_previous = float(times[-1])
 
-        self._record_probe(outs_np, times[start:])
-        self._handle_state_frames(outs_np, times[start:])
+        if self.cfg.probe is not None:
+            self._record_probe({"probe": np.asarray(outs["probe"])}, times[start:])
+        if self.cfg.emit_states and self.save_dvs_model_state:
+            self._handle_state_frames(
+                {"states": jax.device_get(outs["states"])}, times[start:]
+            )
 
         # rebase chunk-relative device times to keep f32 precision over long runs
         last_rel = float(times[-1] - self.t_origin)

@@ -59,10 +59,14 @@ def snap32(x: int) -> int:
     return max(32, int(x / 32) * 32)
 
 
-@functools.partial(jax.jit, static_argnums=())
-def compute_flow(flow_params, I0: jnp.ndarray, I1: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(3,))
+def compute_flow(
+    flow_params, I0: jnp.ndarray, I1: jnp.ndarray, compute_dtype=jnp.bfloat16
+) -> jnp.ndarray:
     """Run the flow UNet on a batch of normalized pairs. Returns [B,4,h,w]."""
-    return unet_apply(flow_params, jnp.concatenate([I0, I1], axis=1))
+    return unet_apply(
+        flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
+    )
 
 
 def max_flow_speed(flow_out: jnp.ndarray) -> jnp.ndarray:
@@ -73,13 +77,15 @@ def max_flow_speed(flow_out: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.max(sp))
 
 
-@functools.partial(jax.jit, static_argnums=(4,))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def interpolate_pairs(
     flow_params,
     interp_params,
     I0: jnp.ndarray,
     I1: jnp.ndarray,
     upsampling_factor: int,
+    max_group: int = 64,
+    compute_dtype=jnp.bfloat16,
     flow_out: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Interpolate U intermediate frames for each pair in the batch.
@@ -87,6 +93,12 @@ def interpolate_pairs(
     Args:
       I0, I1: [B,1,h,w] normalized (0-1 minus MEAN) frame pairs.
       upsampling_factor: static U >= 2.
+      max_group: target device batch for the refinement UNet.  Intermediate
+        times are folded into the batch dimension in groups of
+        g = max_group//B so the MXU sees large batches (the reference loops
+        t one at a time, slomo.py:404); groups beyond the first run under a
+        ``lax.scan`` to bound activation memory at high U.
+      compute_dtype: UNet compute precision (bfloat16 = MXU native).
       flow_out: optionally reuse a precomputed flow UNet output.
 
     Returns [B, U, 1, h, w] normalized interpolated frames at times
@@ -94,34 +106,60 @@ def interpolate_pairs(
     slomo.py:405).
     """
     if flow_out is None:
-        flow_out = unet_apply(flow_params, jnp.concatenate([I0, I1], axis=1))
+        flow_out = unet_apply(
+            flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
+        )
     F01 = flow_out[:, :2]
     F10 = flow_out[:, 2:]
     U = upsampling_factor
+    B = I0.shape[0]
     ts = (jnp.arange(U, dtype=jnp.float32) + 0.5) / U
 
-    def step(_, t):
+    n_groups = max(1, -(-(U * B) // max_group))
+    g = -(-U // n_groups)  # minimal padding: g*n_groups - U < n_groups
+    pad = n_groups * g - U
+    ts_padded = jnp.concatenate([ts, jnp.full((pad,), 0.5, jnp.float32)])
+    ts_groups = ts_padded.reshape(n_groups, g)
+
+    # tile pair data across the group's time axis: [g*B, ...]
+    I0g = jnp.tile(I0, (g, 1, 1, 1))
+    I1g = jnp.tile(I1, (g, 1, 1, 1))
+    F01g = jnp.tile(F01, (g, 1, 1, 1))
+    F10g = jnp.tile(F10, (g, 1, 1, 1))
+
+    def group(ts_g):
+        t = jnp.repeat(ts_g, B)[:, None, None, None]  # [g*B,1,1,1]
         tmp = -t * (1.0 - t)
-        F_t_0 = tmp * F01 + (t * t) * F10
-        F_t_1 = ((1.0 - t) * (1.0 - t)) * F01 + tmp * F10
-        g0 = backwarp(I0, F_t_0)
-        g1 = backwarp(I1, F_t_1)
+        F_t_0 = tmp * F01g + (t * t) * F10g
+        F_t_1 = ((1.0 - t) * (1.0 - t)) * F01g + tmp * F10g
+        g0 = backwarp(I0g, F_t_0)
+        g1 = backwarp(I1g, F_t_1)
         intrp = unet_apply(
             interp_params,
-            jnp.concatenate([I0, I1, F01, F10, F_t_1, F_t_0, g1, g0], axis=1),
+            jnp.concatenate(
+                [I0g, I1g, F01g, F10g, F_t_1, F_t_0, g1, g0], axis=1
+            ),
+            compute_dtype,
         )
         F_t_0_f = intrp[:, 0:2] + F_t_0
         F_t_1_f = intrp[:, 2:4] + F_t_1
-        V0 = jax.nn.sigmoid(intrp[:, 4:5])
+        V0 = jax.nn.sigmoid(intrp[:, 4:5].astype(jnp.float32))
         V1 = 1.0 - V0
-        g0f = backwarp(I0, F_t_0_f)
-        g1f = backwarp(I1, F_t_1_f)
+        g0f = backwarp(I0g, F_t_0_f)
+        g1f = backwarp(I1g, F_t_1_f)
         w0 = (1.0 - t) * V0
         w1 = t * V1
         Ft_p = (w0 * g0f + w1 * g1f) / (w0 + w1)
-        return None, Ft_p
+        return Ft_p.reshape(g, B, 1, *Ft_p.shape[2:])  # [g,B,1,h,w]
 
-    _, frames = jax.lax.scan(step, None, ts)  # [U,B,1,h,w]
+    if n_groups == 1:
+        frames = group(ts_groups[0])  # [g,B,1,h,w]
+    else:
+        _, frames = jax.lax.scan(
+            lambda _, tg: (None, group(tg)), None, ts_groups
+        )  # [n_groups,g,B,1,h,w]
+        frames = frames.reshape(n_groups * g, *frames.shape[2:])
+    frames = frames[:U]
     return jnp.moveaxis(frames, 0, 1)
 
 
@@ -177,6 +215,8 @@ class SuperSloMo:
         vid_slomo: Optional[str] = "slomo.avi",
         preview: bool = False,
         avi_frame_rate: int = 30,
+        compute_dtype: str = "bfloat16",
+        max_group: int = 64,
     ):
         if not auto_upsample and (
             not isinstance(upsampling_factor, int) or upsampling_factor < 2
@@ -194,6 +234,8 @@ class SuperSloMo:
         self.avi_frame_rate = avi_frame_rate
         self.upsampling_sum = 0
         self.upsampling_samples = 0
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        self.max_group = max_group
 
         if model is not None and os.path.isfile(model):
             self.flow_params, self.interp_params = load_slomo_params(model)
@@ -247,10 +289,11 @@ class SuperSloMo:
         h32, w32 = snap32(H), snap32(W)
         x = preprocess_frames(frames, h32, w32)
         I0, I1 = x[:-1], x[1:]
-        flow_out = compute_flow(self.flow_params, I0, I1)
+        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype)
         U = self.choose_upsampling(flow_out)
         interp = interpolate_pairs(
-            self.flow_params, self.interp_params, I0, I1, U, flow_out=flow_out
+            self.flow_params, self.interp_params, I0, I1, U,
+            self.max_group, self.compute_dtype, flow_out=flow_out,
         )
         out = postprocess_frames(interp, H, W, quantize)
         return out, U

@@ -75,7 +75,8 @@ def _conv(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=jnp.float32,
     )
-    return y + p["b"].astype(y.dtype)[None, :, None, None]
+    y = y + p["b"].astype(jnp.float32)[None, :, None, None]
+    return y.astype(x.dtype)
 
 
 def _lrelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -94,8 +95,16 @@ def _upsample2(x: jnp.ndarray) -> jnp.ndarray:
     return jax.image.resize(x, (n, c, 2 * h, 2 * w), method="bilinear")
 
 
-def unet_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Forward pass. x: [N, in_ch, H, W] with H, W multiples of 32."""
+def unet_apply(params: Params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """Forward pass. x: [N, in_ch, H, W] with H, W multiples of 32.
+
+    compute_dtype: run convs/activations in this dtype (e.g. bfloat16 — the
+    MXU-native precision on TPU; accumulation stays float32 via
+    preferred_element_type).  Output is cast back to the input dtype.
+    """
+    in_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
     x = _lrelu(_conv(x, params["conv1"]))
     s1 = _lrelu(_conv(x, params["conv2"]))
     skips = [s1]
@@ -112,4 +121,5 @@ def unet_apply(params: Params, x: jnp.ndarray) -> jnp.ndarray:
         x = _upsample2(x)
         x = _lrelu(_conv(x, params[f"up{i}.conv1"]))
         x = _lrelu(_conv(jnp.concatenate([x, skip], axis=1), params[f"up{i}.conv2"]))
-    return _lrelu(_conv(x, params["conv3"]))
+    out = _lrelu(_conv(x, params["conv3"]))
+    return out.astype(in_dtype)
