@@ -1,0 +1,157 @@
+"""DDD20 reader/codec tests against a synthetically constructed recording."""
+import struct
+
+import numpy as np
+import pytest
+
+from v2e_tpu.io.ddd import (
+    DDD20SimpleReader,
+    DVS_SHAPE,
+    unpack_events,
+    unpack_frame,
+    unpack_header,
+)
+
+H, W = DVS_SHAPE
+
+
+def caer_header(etype: int, esize: int, ecapacity: int) -> bytes:
+    # fields: etype, esource, esize, eoffset, eoverflow, ecapacity,
+    # enumber, evalid
+    return struct.pack("hhiiiiii", etype, 0, esize, 0, 0, ecapacity,
+                       ecapacity, ecapacity)
+
+
+def polarity_packet(events):
+    """events: list of (ts_us, x, y, pol) in RAW sensor coords."""
+    n = len(events)
+    arr = np.zeros((n, 2), dtype=np.uint32)
+    for i, (ts, x, y, p) in enumerate(events):
+        arr[i, 0] = (x << 17) | (y << 2) | (p << 1)
+        arr[i, 1] = ts
+    return caer_header(1, 8, n), arr.tobytes()
+
+
+def frame_packet(ts_us, img16):
+    head = np.zeros(9, dtype=np.uint32)
+    head[2] = ts_us
+    return caer_header(2, 36 + img16.nbytes, 1), head.tobytes() + img16.tobytes()
+
+
+@pytest.fixture
+def ddd_file(tmp_path):
+    import h5py
+
+    path = str(tmp_path / "rec.hdf5")
+    rows = []
+    img = (np.ones((H, W), dtype=np.uint16) * (100 * 256))
+    rows.append(frame_packet(1_000_000, img))
+    rows.append(polarity_packet([(1_100_000, 10, 20, 1), (1_200_000, 30, 40, 0)]))
+    img2 = (np.ones((H, W), dtype=np.uint16) * (160 * 256))
+    rows.append(frame_packet(1_500_000, img2))
+    rows.append(polarity_packet([(1_600_000, 5, 6, 1)]))
+
+    with h5py.File(path, "w") as f:
+        dt = h5py.special_dtype(vlen=np.dtype("uint8"))
+        ds = f.create_dataset("dvs/data", shape=(len(rows), 3), dtype=dt)
+        for i, (hdr, payload) in enumerate(rows):
+            ds[i, 0] = np.frombuffer(struct.pack("<q", i), dtype=np.uint8)
+            ds[i, 1] = np.frombuffer(hdr, dtype=np.uint8)
+            ds[i, 2] = np.frombuffer(payload, dtype=np.uint8)
+    return path
+
+
+class TestCaerCodec:
+    def test_header(self):
+        h = unpack_header(caer_header(1, 8, 5))
+        assert h["etype"] == "polarity_event"
+        assert h["esize"] == 8
+        assert h["ecapacity"] == 5
+
+    def test_events_rotate(self):
+        hdr, payload = polarity_packet([(42, 10, 20, 1)])
+        p = unpack_header(hdr)
+        p["dvs_data"] = payload
+        p["etype"] = "polarity_event"
+        ts, ev = unpack_events(p, rotate180=True)
+        assert ts == pytest.approx(42e-6)
+        assert ev[0, 1] == W - 10 - 1  # x rotated
+        assert ev[0, 2] == H - 20 - 1  # y rotated
+        assert ev[0, 3] == 1
+
+    def test_frame(self):
+        img = np.arange(H * W, dtype=np.uint16).reshape(H, W)
+        hdr, payload = frame_packet(7_000_000, img)
+        p = unpack_header(hdr)
+        p["dvs_data"] = payload
+        ts, out = unpack_frame(p, rotate180=False)
+        assert ts == pytest.approx(7.0)
+        np.testing.assert_array_equal(out, img)
+
+
+class TestReader:
+    def test_read_entire(self, ddd_file):
+        r = DDD20SimpleReader(ddd_file, rotate180=False)
+        assert r.numPackets == 4
+        frames, events = r.readEntire()
+        assert len(frames) == 2
+        assert frames["frame"][0][0, 0] == 100  # 16->8 bit
+        assert frames["frame"][1][0, 0] == 160
+        # times rebased to 0
+        assert frames["ts"][0] == 0.0
+        assert frames["ts"][1] == pytest.approx(0.5)
+        assert events.shape[0] == 3
+        assert events[0, 0] == 0.0
+        np.testing.assert_array_equal(events[:, 3], [1, -1, 1])
+        r.close()
+
+    def test_read_packet(self, ddd_file):
+        r = DDD20SimpleReader(ddd_file, rotate180=False)
+        p = r.readPacket(0)
+        assert p["etype"] == "frame_event"
+        p = r.readPacket(1)
+        assert p["etype"] == "polarity_event"
+        assert p["data"].shape == (2, 4)
+        r.close()
+
+    def test_feeds_emulator(self, ddd_file):
+        """DDD APS frames drive the emulator (the ddd-v2e path)."""
+        from v2e_tpu.emulator import EventEmulator
+
+        r = DDD20SimpleReader(ddd_file, rotate180=False)
+        frames, _ = r.readEntire()
+        r.close()
+        em = EventEmulator(sigma_thres=0.0, leak_rate_hz=0.0, cutoff_hz=0.0,
+                           seed=1)
+        ev = em.generate_events_batch(
+            frames["frame"].astype(np.float32), frames["ts"].astype(np.float64)
+        )
+        # 100 -> 160 DN is ln(1.6)=0.47 -> 2 ON events/pixel at thres 0.2
+        assert ev is not None
+        assert ev.shape[0] == 2 * H * W
+
+
+class TestThresholdEstimator:
+    def test_recovers_threshold(self):
+        """Generate 'real' counts with a known threshold; the estimator must
+        find a threshold reproducing those counts."""
+        from v2e_tpu.analysis import estimate_thresholds
+        from v2e_tpu.emulator import EventEmulator
+
+        rng = np.random.default_rng(0)
+        frames = np.clip(
+            128 * np.exp(rng.normal(0, 0.2, (10, 32, 32))), 0, 255
+        ).astype(np.float32)
+        times = np.arange(10) * 0.01
+
+        kw = dict(sigma_thres=0.0, leak_rate_hz=0.0, cutoff_hz=0.0,
+                  shot_noise_rate_hz=0.0)
+        em = EventEmulator(pos_thres=0.3, neg_thres=0.3, seed=42, **kw)
+        em.generate_events_batch(frames, times)
+        target_on, target_off = em.num_events_on, em.num_events_off
+
+        pos, neg = estimate_thresholds(
+            frames, times, target_on, target_off, rel_tol=0.03, **kw
+        )
+        assert abs(pos - 0.3) < 0.1
+        assert abs(neg - 0.3) < 0.1

@@ -323,6 +323,33 @@ def compact_chunk(
     return out
 
 
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def emulate_and_compact(
+    cfg: EmulatorConfig,
+    params: EmulatorParams,
+    state: EmulatorState,
+    frames: jnp.ndarray,
+    times: jnp.ndarray,
+    capacity: int,
+):
+    """One-call chunk conversion: scan + sparse compaction fused.
+
+    Minimizes host round trips (a dispatch through a remote-device link can
+    cost tens of ms): a single program returns the new state, the dense
+    per-frame outputs (left on device, only needed again on capacity
+    overflow), and a 'packed' dict — sparse event entries + per-frame
+    scalars + the true occupancy — that the host fetches in one go.
+    """
+    state, outs = emulate_chunk(cfg, params, state, frames, times)
+    packed = compact_chunk(cfg, outs, capacity)
+    packed["n_occ"] = count_occupied(cfg, outs)
+    for k in ("stride", "K", "t_prev", "t_frame", "num_on", "num_off"):
+        packed[k] = outs[k]
+    if cfg.probe is not None:
+        packed["probe"] = outs["probe"]
+    return state, outs, packed
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def emulate_chunk(
     cfg: EmulatorConfig,

