@@ -123,7 +123,10 @@ def emulator_step(
         num_on/num_off i32  totals including shot noise (for cheap stats)
     """
     delta_time = t_frame - state.t_prev
-    key, k_leak, k_shot, k_pr = jax.random.split(state.key, 4)
+    # counter-based per-frame RNG: chunking-invariant (a chunk of N frames
+    # draws exactly the same randoms as N single-frame calls)
+    frame_key = jax.random.fold_in(state.key, state.step_idx)
+    k_leak, k_shot, k_pr = jax.random.split(frame_key, 3)
 
     new_frame = new_frame.astype(jnp.float32)
     log_new = new_frame if cfg.hdr else lin_log(new_frame)
@@ -265,7 +268,7 @@ def emulator_step(
         photoreceptor_noise_arr=pr_noise,
         timestamp_mem=new_mem,
         t_prev=t_frame,
-        key=key,
+        step_idx=state.step_idx + 1,
         scidvs_highpass=scidvs_highpass,
         scidvs_previous_photo=scidvs_prev,
         cs_surround_frame=cs_surround,
@@ -350,6 +353,203 @@ def emulate_and_compact(
     return state, outs, packed
 
 
+def _linear_iir_scan(
+    init: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray
+) -> jnp.ndarray:
+    """Parallel evaluation of y[f] = a[f]*y[f-1] + b[f] over the leading
+    axis via associative_scan (the IIR recurrences of the model are linear
+    with per-frame coefficients, so the whole chunk solves in O(log F)
+    passes instead of a length-F sequential scan)."""
+
+    def combine(c1, c2):
+        a1, b1 = c1
+        a2, b2 = c2
+        return a1 * a2, a2 * b1 + b2
+
+    A, B = jax.lax.associative_scan(combine, (a, b))
+    return A * init[None] + B
+
+
+def _emulate_chunk_fast(
+    cfg: EmulatorConfig,
+    params: EmulatorParams,
+    state: EmulatorState,
+    frames: jnp.ndarray,
+    times: jnp.ndarray,
+) -> Tuple[EmulatorState, Dict[str, jnp.ndarray]]:
+    """Hoisted-precompute chunk evaluation (exact same math as the step
+    scan, restructured for the compiler):
+
+    * everything that doesn't depend on carried state — lin-log, intensity
+      rescale, all RNG draws, shot-noise Bernoullis, leak deltas, the IIR
+      lowpass coefficients — evaluates as a handful of big [F,H,W] batched
+      ops instead of ~50 small ops per scan step;
+    * the photoreceptor lowpass (and injected-noise lowpass) are linear
+      recurrences and solve with an associative scan;
+    * the remaining true sequential core (memorized base frame, refractory
+      memory, SCIDVS highpass) is a ~15-op lax.scan.
+
+    Per-frame RNG uses fold_in(key, step_idx+f), identical to the stepwise
+    path.
+    """
+    F = frames.shape[0]
+    shape = frames.shape[1:]
+    frames = frames.astype(jnp.float32)
+    times = times.astype(jnp.float32)
+    dts = jnp.diff(times, prepend=state.t_prev[None])
+    t_prevs = times - dts
+
+    log_new = frames if cfg.hdr else lin_log(frames)
+    inten01 = rescale_intensity_frame(frames) if cfg.needs_inten01 else None
+
+    keys = jax.vmap(
+        lambda i: jax.random.fold_in(state.key, state.step_idx + i)
+    )(jnp.arange(F))
+    subkeys = jax.vmap(lambda k: jax.random.split(k, 3))(keys)  # [F,3]
+
+    # --- photoreceptor lowpass (linear IIR -> parallel scan) ---
+    if cfg.cutoff_hz > 0:
+        import math as _math
+
+        tau = 1.0 / (_math.pi * 2 * cfg.cutoff_hz)
+        eps = jnp.clip(inten01 * (dts[:, None, None] / tau), max=1.0)
+        lp = _linear_iir_scan(state.lp_log_frame, 1.0 - eps, eps * log_new)
+    else:
+        lp = log_new
+
+    # --- injected photoreceptor noise, lowpassed the same way ---
+    if cfg.photoreceptor_noise:
+        import math as _math
+
+        tau = 1.0 / (_math.pi * 2 * cfg.cutoff_hz)
+        noise = params.photoreceptor_noise_vrms * jax.vmap(
+            lambda k: jax.random.normal(k, shape, dtype=jnp.float32)
+        )(subkeys[:, 2])
+        eps_n = (dts / tau)[:, None, None] * jnp.ones(shape, jnp.float32)
+        pr_noise = _linear_iir_scan(
+            state.photoreceptor_noise_arr, 1.0 - eps_n, eps_n * noise
+        )
+        pr_last = pr_noise[-1]
+    else:
+        pr_noise = None
+        pr_last = state.photoreceptor_noise_arr
+
+    # --- leak deltas (per-frame Gaussian jitter on the FPN rates) ---
+    if cfg.leak_rate_hz > 0:
+        rand = jax.vmap(
+            lambda k: jax.random.normal(k, shape, dtype=jnp.float32)
+        )(subkeys[:, 0])
+        leak_delta = (
+            dts[:, None, None]
+            * (cfg.leak_rate_hz * params.noise_rate_array)
+            * (1.0 - cfg.leak_jitter_fraction * rand)
+            * params.pos_thres
+        )
+    else:
+        leak_delta = None
+
+    # --- Bernoulli shot noise maps ---
+    if cfg.simple_shot_noise:
+        def shot_one(k, dt, inten):
+            return generate_shot_noise(
+                k, cfg.shot_noise_rate_hz, dt, cfg.shot_noise_inten_factor,
+                inten, params.pos_thres_pre_prob, params.neg_thres_pre_prob,
+            )
+
+        shot_on, shot_off = jax.vmap(shot_one)(subkeys[:, 1], dts, inten01)
+    else:
+        shot_on = shot_off = None
+
+    # --- sequential core ---
+    def body(carry, inp):
+        base, mem, hp, lp_prev = carry
+        lp_f, pr_f, leak_f, s_on, s_off, dt, t, t_prev = inp
+
+        if leak_f is not None:
+            base = base - leak_f
+
+        if cfg.scidvs:
+            hp = hp + (lp_f - lp_prev) - dt * _scidvs_dvdt(hp, params.scidvs_tau_arr)
+            photoreceptor = cfg.scidvs_gain * hp
+        else:
+            photoreceptor = lp_f
+
+        diff = photoreceptor + (pr_f if pr_f is not None else 0.0) - base
+
+        pos_evts, neg_evts = compute_event_map(
+            diff, params.pos_thres, params.neg_thres
+        )
+        count = pos_evts + neg_evts
+        K = jnp.max(count)
+        ts_step = jnp.maximum(dt, 1e-12) / jnp.maximum(K, 1).astype(jnp.float32)
+
+        if cfg.refractory_period_s > 0:
+            n_emit, i0, stride, mem = refractory_filter(
+                count, mem, t_prev, ts_step, cfg.refractory_period_s
+            )
+        else:
+            n_emit, i0, stride = count, jnp.zeros_like(count), jnp.int32(1)
+
+        final_pos = jnp.where(pos_evts > 0, n_emit, 0)
+        final_neg = jnp.where(neg_evts > 0, n_emit, 0)
+        base = base + final_pos.astype(jnp.float32) * params.pos_thres
+        base = base - final_neg.astype(jnp.float32) * params.neg_thres
+        if s_on is not None:
+            base = jnp.where(s_on | s_off, lp_f, base)
+
+        out = {
+            "ev_count": (final_pos - final_neg).astype(jnp.int16),
+            "i0": i0.astype(jnp.int16),
+            "stride": stride,
+            "K": K,
+        }
+        new_lp_prev = lp_f if cfg.scidvs else lp_prev
+        return (base, mem, hp, new_lp_prev), out
+
+    hp0 = state.scidvs_highpass if cfg.scidvs else jnp.zeros((), jnp.float32)
+    lp_prev0 = (
+        state.scidvs_previous_photo if cfg.scidvs else jnp.zeros((), jnp.float32)
+    )
+    inputs = (
+        lp,
+        pr_noise,
+        leak_delta,
+        shot_on,
+        shot_off,
+        dts,
+        times,
+        t_prevs,
+    )
+    (base, mem, hp, lp_prev), outs = jax.lax.scan(
+        body, (state.base_log_frame, state.timestamp_mem, hp0, lp_prev0), inputs
+    )
+
+    # per-frame stats, vectorized post-scan
+    signed = outs["ev_count"].astype(jnp.int32)
+    num_on = jnp.sum(jnp.maximum(signed, 0), axis=(1, 2))
+    num_off = jnp.sum(jnp.maximum(-signed, 0), axis=(1, 2))
+    if shot_on is not None:
+        num_on = num_on + jnp.sum(shot_on, axis=(1, 2))
+        num_off = num_off + jnp.sum(shot_off, axis=(1, 2))
+        outs["shot_on"] = shot_on
+        outs["shot_off"] = shot_off
+    outs.update(
+        t_prev=t_prevs, t_frame=times, num_on=num_on, num_off=num_off
+    )
+
+    new_state = state.replace(
+        base_log_frame=base,
+        lp_log_frame=lp[-1],
+        photoreceptor_noise_arr=pr_last,
+        timestamp_mem=mem,
+        t_prev=times[-1],
+        step_idx=state.step_idx + F,
+        scidvs_highpass=hp if cfg.scidvs else state.scidvs_highpass,
+        scidvs_previous_photo=lp_prev if cfg.scidvs else state.scidvs_previous_photo,
+    )
+    return new_state, outs
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def emulate_chunk(
     cfg: EmulatorConfig,
@@ -368,7 +568,13 @@ def emulate_chunk(
     Returns:
       (final_state, outs) with outs the per-frame outputs of `emulator_step`
       stacked along a leading F axis.
+
+    Uses the hoisted-precompute fast path unless the configuration needs
+    per-step extras it doesn't support (CSDVS diffusion, state-frame
+    emission, the single-pixel probe).
     """
+    if not (cfg.csdvs_enabled or cfg.emit_states or cfg.probe is not None):
+        return _emulate_chunk_fast(cfg, params, state, frames, times)
 
     def body(st, inp):
         frame, t = inp

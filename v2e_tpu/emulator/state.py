@@ -51,7 +51,10 @@ class EmulatorState:
     photoreceptor_noise_arr: jnp.ndarray  # f32[H,W] filtered injected noise
     timestamp_mem: jnp.ndarray  # f32[H,W] last spike time (chunk-relative)
     t_prev: jnp.ndarray  # f32 scalar, chunk-relative time of previous frame
-    key: jax.Array  # PRNG key
+    key: jax.Array  # PRNG key (fixed; per-frame keys derive via fold_in)
+    step_idx: jnp.ndarray = struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.int32)
+    )  # global frame counter for counter-based RNG derivation
     scidvs_highpass: Optional[jnp.ndarray] = None
     scidvs_previous_photo: Optional[jnp.ndarray] = None
     cs_surround_frame: Optional[jnp.ndarray] = None
@@ -130,6 +133,7 @@ def init_state(
         + t0.astype(jnp.float32),
         t_prev=t0.astype(jnp.float32),
         key=key,
+        step_idx=jnp.zeros((), jnp.int32),
         scidvs_highpass=jnp.zeros(shape, dtype=jnp.float32) if cfg.scidvs else None,
         scidvs_previous_photo=lp if cfg.scidvs else None,
         cs_surround_frame=cs_surround,

@@ -84,7 +84,7 @@ def interpolate_pairs(
     I0: jnp.ndarray,
     I1: jnp.ndarray,
     upsampling_factor: int,
-    max_group: int = 64,
+    max_group: int = 96,
     compute_dtype=jnp.bfloat16,
     use_pallas_warp: bool = False,
     warp_max_disp: int = 32,
@@ -117,8 +117,18 @@ def interpolate_pairs(
     B = I0.shape[0]
     ts = (jnp.arange(U, dtype=jnp.float32) + 0.5) / U
 
-    n_groups = max(1, -(-(U * B) // max_group))
-    g = -(-U // n_groups)  # minimal padding: g*n_groups - U < n_groups
+    # choose the group split minimizing padded (wasted) UNet forwards while
+    # keeping the device batch g*B near max_group
+    best = None
+    for n in range(1, U + 1):
+        g_cand = -(-U // n)
+        if g_cand * B > max(max_group, B):
+            continue
+        waste = n * g_cand - U
+        key = (waste, n)
+        if best is None or key < best[0]:
+            best = (key, n, g_cand)
+    _, n_groups, g = best
     pad = n_groups * g - U
     ts_padded = jnp.concatenate([ts, jnp.full((pad,), 0.5, jnp.float32)])
     ts_groups = ts_padded.reshape(n_groups, g)
@@ -134,8 +144,13 @@ def interpolate_pairs(
         tmp = -t * (1.0 - t)
         F_t_0 = tmp * F01g + (t * t) * F10g
         F_t_1 = ((1.0 - t) * (1.0 - t)) * F01g + tmp * F10g
-        g0 = warp(I0g, F_t_0, use_pallas_warp, warp_max_disp)
-        g1 = warp(I1g, F_t_1, use_pallas_warp, warp_max_disp)
+        # warp both directions in one batched call (halves fixed kernel cost)
+        g01 = warp(
+            jnp.concatenate([I0g, I1g]),
+            jnp.concatenate([F_t_0, F_t_1]),
+            use_pallas_warp, warp_max_disp,
+        )
+        g0, g1 = g01[: g * B], g01[g * B :]
         intrp = unet_apply(
             interp_params,
             jnp.concatenate(
@@ -147,8 +162,12 @@ def interpolate_pairs(
         F_t_1_f = intrp[:, 2:4] + F_t_1
         V0 = jax.nn.sigmoid(intrp[:, 4:5].astype(jnp.float32))
         V1 = 1.0 - V0
-        g0f = warp(I0g, F_t_0_f, use_pallas_warp, warp_max_disp)
-        g1f = warp(I1g, F_t_1_f, use_pallas_warp, warp_max_disp)
+        g01f = warp(
+            jnp.concatenate([I0g, I1g]),
+            jnp.concatenate([F_t_0_f, F_t_1_f]),
+            use_pallas_warp, warp_max_disp,
+        )
+        g0f, g1f = g01f[: g * B], g01f[g * B :]
         w0 = (1.0 - t) * V0
         w1 = t * V1
         Ft_p = (w0 * g0f + w1 * g1f) / (w0 + w1)
@@ -218,7 +237,7 @@ class SuperSloMo:
         preview: bool = False,
         avi_frame_rate: int = 30,
         compute_dtype: str = "bfloat16",
-        max_group: int = 64,
+        max_group: int = 96,
         use_pallas_warp: Optional[bool] = None,
         warp_max_disp: int = 32,
     ):
