@@ -49,7 +49,7 @@ def main() -> int:
     SRC_FPS = 30.0
     U = 10  # 10x slowdown
     B = 16  # pairs per chunk
-    N_WARM = 2
+    N_WARM = 5  # covers compile + compaction-capacity adaptation
     N_MEAS = 10
 
     dev = jax.devices()[0]
