@@ -133,6 +133,10 @@ def _make_emulator(args, output_folder, output_width, output_height):
     )
     if args.dvs_params is not None:
         em.set_dvs_params(args.dvs_params)
+    if args.ddd_output and em.dvs_h5 is not None:
+        em.prepare_storage(None, None)  # growable DDD frame datasets
+    elif args.ddd_output:
+        logger.warning("--ddd_output requires --dvs_h5; ignoring")
     return em
 
 

@@ -520,6 +520,86 @@ class EventEmulator:
                 vw.write(cv2.cvtColor(img8, cv2.COLOR_GRAY2BGR))
 
     # ------------------------------------------------------------------
+    def save_state(self, path: str) -> None:
+        """Checkpoint the emulator for chunked-conversion resume.
+
+        The reference has no pipeline resume (SURVEY.md §5); here the full
+        per-pixel state pytree + timing counters go to one .npz so a long
+        conversion can continue after interruption (event sink files must
+        be re-opened in append mode by the caller).
+        """
+        if self.state is None:
+            raise RuntimeError("no state to save (no frames processed yet)")
+        blobs = {"__key_data": np.asarray(jax.random.key_data(self.state.key))}
+        for name in ("params", "state"):
+            tree = getattr(self, name)
+            flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+            for kp, leaf in flat:
+                if leaf is None:
+                    continue
+                key_str = f"{name}/" + jax.tree_util.keystr(kp)
+                if name == "state" and "key" in key_str:
+                    continue
+                blobs[key_str] = np.asarray(leaf)
+        blobs["__scalars"] = np.array(
+            [self.t_origin, self.t_previous, self.frame_counter,
+             self.num_events_on, self.num_events_off, self._capacity],
+            dtype=np.float64,
+        )
+        np.savez(path, **blobs)
+        logger.info(f"saved emulator state to {path}")
+
+    def load_state(self, path: str) -> None:
+        """Restore a checkpoint written by `save_state`.
+
+        The emulator must be constructed with the same configuration and
+        must not have processed frames yet.
+        """
+        if self.state is not None:
+            raise RuntimeError("load_state requires a fresh emulator")
+        npz = np.load(path)
+        # rebuild params/state through a dummy init for the pytree structure
+        H = None
+        for k in npz.files:
+            if k.endswith("pos_thres"):
+                H, W = npz[k].shape
+        dummy = jnp.zeros((H, W), jnp.float32)
+        self._key, sub = jax.random.split(self._key)
+        self.params, self.state = init_state(self.cfg, dummy, jnp.float32(0.0), sub)
+
+        def restore(name, tree):
+            flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+            leaves = []
+            for kp, leaf in flat:
+                key_str = f"{name}/" + jax.tree_util.keystr(kp)
+                if name == "state" and "key" in key_str:
+                    leaves.append(
+                        jax.random.wrap_key_data(jnp.asarray(npz["__key_data"]))
+                    )
+                elif key_str in npz.files:
+                    leaves.append(jnp.asarray(npz[key_str]))
+                else:
+                    leaves.append(leaf)
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        self.params = restore("params", self.params)
+        self.state = restore("state", self.state)
+        sc = npz["__scalars"]
+        self.t_origin = float(sc[0])
+        self.t_previous = float(sc[1])
+        self.frame_counter = int(sc[2])
+        self.num_events_on = int(sc[3])
+        self.num_events_off = int(sc[4])
+        self.num_events_total = self.num_events_on + self.num_events_off
+        self._capacity = int(sc[5])
+        if self.output_height is None:
+            self.output_height, self.output_width = H, W
+        logger.info(
+            f"restored emulator state from {path} "
+            f"(t={self.t_previous:.4f}s, {self.frame_counter} frames)"
+        )
+
+    # ------------------------------------------------------------------
     def prepare_storage(self, n_frames: int, frame_ts) -> None:
         """DDD-format frame storage in the H5 file (reference emulator.py:374-400)."""
         if self.dvs_h5 is not None:

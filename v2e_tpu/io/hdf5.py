@@ -37,28 +37,50 @@ class DVSH5Output:
         self._frame_counter = 0
 
     def prepare_frame_storage(
-        self, n_frames: int, frame_ts: Sequence[float], height: int, width: int
+        self,
+        n_frames: Optional[int],
+        frame_ts: Optional[Sequence[float]],
+        height: int,
+        width: int,
     ) -> None:
-        """Create the DDD-style frame datasets (reference prepare_storage)."""
+        """Create the DDD-style frame datasets (reference prepare_storage).
+
+        ``n_frames``/``frame_ts`` may be None for streaming pipelines where
+        the frame count isn't known up front (the reference requires it,
+        emulator.py:374-400) — the datasets then grow as frames arrive and
+        timestamps come from appendFrame.
+        """
+        n0 = n_frames or 0
         self.frame_dataset = self.file.create_dataset(
-            name="frame", shape=(n_frames, height, width), dtype="uint8",
-            compression="gzip",
+            name="frame", shape=(n0, height, width),
+            maxshape=(None, height, width), dtype="uint8", compression="gzip",
         )
-        ts_us = (np.asarray(frame_ts, dtype=np.float64) * 1e6).astype(np.uint32)
+        if frame_ts is not None:
+            ts_us = (np.asarray(frame_ts, dtype=np.float64) * 1e6).astype(np.uint32)
+        else:
+            ts_us = np.zeros(n0, np.uint32)
         self.frame_ts_dataset = self.file.create_dataset(
-            name="frame_ts", shape=(n_frames,), data=ts_us, dtype="uint32",
-            compression="gzip",
+            name="frame_ts", shape=(n0,), maxshape=(None,), data=ts_us,
+            dtype="uint32", compression="gzip",
         )
         self.frame_ev_idx_dataset = self.file.create_dataset(
-            name="frame_idx", shape=(n_frames,), dtype="uint64",
+            name="frame_idx", shape=(n0,), maxshape=(None,), dtype="uint64",
             compression="gzip",
         )
 
-    def appendFrame(self, frame: np.ndarray) -> None:
-        if self.frame_dataset is not None:
-            self.frame_dataset[self._frame_counter] = frame.astype(np.uint8)
-        if self.frame_ev_idx_dataset is not None:
-            self.frame_ev_idx_dataset[self._frame_counter] = self.numEventsWritten
+    def appendFrame(self, frame: np.ndarray, ts: Optional[float] = None) -> None:
+        if self.frame_dataset is None:
+            self._frame_counter += 1
+            return
+        k = self._frame_counter
+        if k >= self.frame_dataset.shape[0]:
+            self.frame_dataset.resize(k + 1, axis=0)
+            self.frame_ts_dataset.resize(k + 1, axis=0)
+            self.frame_ev_idx_dataset.resize(k + 1, axis=0)
+        self.frame_dataset[k] = np.clip(frame, 0, 255).astype(np.uint8)
+        if ts is not None:
+            self.frame_ts_dataset[k] = np.uint32(ts * 1e6)
+        self.frame_ev_idx_dataset[k] = self.numEventsWritten
         self._frame_counter += 1
 
     def appendEvents(

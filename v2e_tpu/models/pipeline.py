@@ -65,6 +65,7 @@ def run_interpolated_pipeline(
 
     window: List[np.ndarray] = []
     pair_index = 0  # global index of the first pair in the current window
+    stats_u: List[tuple] = []  # (source time, upsampling factor) per chunk
     pbar = tqdm(desc="slomo+dvs", unit="src fr")
 
     def process_window() -> None:
@@ -77,6 +78,7 @@ def run_interpolated_pipeline(
         )
         n_pairs = chunk.shape[0] - 1
         n_out = n_pairs * U
+        stats_u.append((pair_index * src_frame_interval, U))
         # output frame k*U+i of pair k sits at source-unit time k + i/U
         # (reference slomo.py:389-400)
         rel = np.arange(n_out, dtype=np.float64) / U
@@ -127,3 +129,27 @@ def run_interpolated_pipeline(
     logger.info(
         f"SloMo average upsampling factor: {slomo.avg_upsampling_factor:.1f}"
     )
+    if getattr(args, "slomo_stats_plot", False) and stats_u:
+        _save_slomo_stats_plot(args.output_folder, stats_u)
+
+
+def _save_slomo_stats_plot(output_folder: str, stats_u) -> None:
+    """Plot per-chunk upsampling factors / timestamp resolution
+    (the reference shows this interactively, v2e.py:799-814)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as _np
+
+    t, u = zip(*stats_u)
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.step(t, u, where="post")
+    ax.set_xlabel("source time (s)")
+    ax.set_ylabel("upsampling factor")
+    ax.set_title(
+        f"SloMo upsampling (mean {float(_np.mean(u)):.1f})"
+    )
+    path = os.path.join(output_folder, "slomo-stats.png")
+    fig.savefig(path, dpi=120)
+    logger.info(f"wrote SloMo statistics plot to {path}")
