@@ -276,6 +276,46 @@ def emulator_step(
     return new_state, out
 
 
+def _sparse_blob(sparse: Dict[str, jnp.ndarray], capacity: int) -> jnp.ndarray:
+    """Serialize the sparse entry arrays into ONE uint8 buffer.
+
+    A host fetch can pay a full link round trip per array; one contiguous
+    blob makes the phase-2 fetch a single transfer.  Layout: idx int32[C] |
+    count int16[C] | i0 int16[C] | shot uint8[C] (shot section only when
+    present).
+    """
+    parts = [
+        jax.lax.bitcast_convert_type(sparse["idx"][:capacity], jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(sparse["count"][:capacity], jnp.uint8).reshape(-1),
+        jax.lax.bitcast_convert_type(sparse["i0"][:capacity], jnp.uint8).reshape(-1),
+    ]
+    if "shot" in sparse:
+        parts.append(sparse["shot"][:capacity])
+    return jnp.concatenate(parts)
+
+
+def unpack_sparse_blob(blob: "object", capacity: int, has_shot: bool) -> Dict:
+    """Host-side inverse of `_sparse_blob` (zero-copy numpy views)."""
+    import numpy as _np
+
+    blob = _np.asarray(blob)
+    out = {
+        "idx": blob[: 4 * capacity].view(_np.int32),
+        "count": blob[4 * capacity : 6 * capacity].view(_np.int16),
+        "i0": blob[6 * capacity : 8 * capacity].view(_np.int16),
+    }
+    if has_shot:
+        out["shot"] = blob[8 * capacity : 9 * capacity]
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def slice_packed(sparse: Dict[str, jnp.ndarray], capacity: int) -> jnp.ndarray:
+    """Trim compacted sparse arrays to a smaller capacity bucket and pack
+    them into one fetchable buffer."""
+    return _sparse_blob(sparse, capacity)
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def count_occupied(cfg: EmulatorConfig, outs: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     """Number of (frame, pixel) cells carrying any event — the only scalar
@@ -347,13 +387,47 @@ def emulate_and_compact(
     scalars + the true occupancy — that the host fetches in one go.
     """
     state, outs = emulate_chunk(cfg, params, state, frames, times)
-    packed = compact_chunk(cfg, outs, capacity)
-    packed["n_occ"] = count_occupied(cfg, outs)
-    for k in ("stride", "K", "t_prev", "t_frame", "num_on", "num_off"):
-        packed[k] = outs[k]
+    sparse = compact_chunk(cfg, outs, capacity)
+    n_occ = count_occupied(cfg, outs)
+    # ALL per-frame scalars + the occupancy in ONE int32 buffer: a host
+    # fetch can pay a full link round trip per array, so phase 1 of the
+    # collect is a single small transfer.
+    scalars = jnp.concatenate(
+        [
+            outs["stride"].astype(jnp.int32),
+            outs["K"].astype(jnp.int32),
+            outs["num_on"].astype(jnp.int32),
+            outs["num_off"].astype(jnp.int32),
+            jax.lax.bitcast_convert_type(
+                outs["t_prev"].astype(jnp.float32), jnp.int32
+            ),
+            jax.lax.bitcast_convert_type(
+                outs["t_frame"].astype(jnp.float32), jnp.int32
+            ),
+            n_occ[None].astype(jnp.int32),
+        ]
+    )
+    packed = {"scalars": scalars, "sparse": sparse}
     if cfg.probe is not None:
         packed["probe"] = outs["probe"]
     return state, outs, packed
+
+
+def unpack_scalars(scalars: "object") -> Dict:
+    """Host-side inverse of the scalar packing in `emulate_and_compact`."""
+    import numpy as _np
+
+    scalars = _np.asarray(scalars)
+    F = (scalars.shape[0] - 1) // 6
+    return {
+        "stride": scalars[0:F],
+        "K": scalars[F : 2 * F],
+        "num_on": scalars[2 * F : 3 * F],
+        "num_off": scalars[3 * F : 4 * F],
+        "t_prev": scalars[4 * F : 5 * F].view(_np.float32),
+        "t_frame": scalars[5 * F : 6 * F].view(_np.float32),
+        "n_occ": int(scalars[-1]),
+    }
 
 
 def _linear_iir_scan(

@@ -28,6 +28,9 @@ from v2e_tpu.emulator.core import (
     count_occupied,
     emulate_and_compact,
     emulate_chunk,
+    slice_packed,
+    unpack_scalars,
+    unpack_sparse_blob,
 )
 from v2e_tpu.emulator.events import materialize_events_sparse
 from v2e_tpu.emulator.state import init_state, rebase_state
@@ -391,7 +394,9 @@ class EventEmulator:
         return {
             "outs": outs,
             "packed": packed,
-            "capacity": self._capacity,
+            # arrays clamp to the cell count when the chunk is smaller than
+            # the capacity bucket
+            "capacity": int(packed["sparse"]["idx"].shape[0]),
             "t_origin": t_origin,
             "times": times[start:],
             "shape": tuple(chunk.shape),
@@ -404,23 +409,33 @@ class EventEmulator:
         Returns (events f64[N,4], labels, frame_offsets).  Chunks must be
         collected in submission order (sinks are sequential files).
         """
-        packed = jax.device_get(handle["packed"])
-        n_occ = int(packed["n_occ"])
+        dev_packed = handle["packed"]
+        has_shot = self.cfg.simple_shot_noise
+        # phase 1: ONE small fetch (all per-frame scalars + occupancy)
+        packed = unpack_scalars(np.asarray(dev_packed["scalars"]))
+        n_occ = packed["n_occ"]
         if n_occ > handle["capacity"]:
             # rare: compaction capacity overflow — recompact the still-
             # device-resident dense outputs at a sufficient capacity
             cap = _capacity_bucket(n_occ)
             logger.info(f"compaction capacity {handle['capacity']} -> {cap}")
-            sparse = jax.device_get(compact_chunk(self.cfg, handle["outs"], cap))
-            for k in ("idx", "count", "i0", "shot"):
-                if k in sparse:
-                    packed[k] = sparse[k]
+            sparse = compact_chunk(self.cfg, handle["outs"], cap)
+            cap_eff = int(sparse["idx"].shape[0])  # clamped to the cell count
+            packed.update(
+                unpack_sparse_blob(
+                    np.asarray(slice_packed(sparse, cap_eff)), cap_eff, has_shot
+                )
+            )
             self._capacity = cap
         else:
+            # phase 2: ONE fetch of only the occupied bucket (not the 2x
+            # headroom), serialized into a single buffer
+            fetch_cap = min(_capacity_bucket(max(n_occ, 1)), handle["capacity"])
+            fetch_cap = min(fetch_cap, handle["capacity"])
+            blob = np.asarray(slice_packed(dev_packed["sparse"], fetch_cap))
+            packed.update(unpack_sparse_blob(blob, fetch_cap, has_shot))
             # adapt: keep ~2x headroom for the next chunks
-            self._capacity = max(
-                _capacity_bucket(2 * max(n_occ, 1)), 4096
-            )
+            self._capacity = max(_capacity_bucket(2 * max(n_occ, 1)), 4096)
 
         F, H, W = handle["shape"]
         times = handle["times"]
@@ -447,7 +462,9 @@ class EventEmulator:
         self.num_events_total = self.num_events_on + self.num_events_off
 
         if self.cfg.probe is not None:
-            self._record_probe({"probe": np.asarray(packed["probe"])}, times)
+            self._record_probe(
+                {"probe": np.asarray(dev_packed["probe"])}, times
+            )
         if self.cfg.emit_states and self.save_dvs_model_state:
             self._handle_state_frames(
                 {"states": jax.device_get(handle["outs"]["states"])}, times
