@@ -63,6 +63,7 @@ def main() -> int:
         refractory_period_s=0.0005,
         seed=42,
         shuffle_events_within_iteration=False,
+        compaction_capacity_hint=160_000,
     )
 
     n_chunks = N_WARM + N_MEAS
@@ -71,10 +72,15 @@ def main() -> int:
 
     total_events = 0
     total_dvs_time = 0.0
-    wall = 0.0
     pair_index = 0
-    pending = None  # depth-1 pipeline: device runs chunk k+1 while the
-    # host materializes chunk k
+    DEPTH = 2  # chunks in flight: absorbs link jitter on remote devices
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    pending = deque()
+    # a single collector thread preserves collection order while its
+    # device->host fetches overlap the main thread's submissions
+    collector = ThreadPoolExecutor(1)
 
     def submit(c):
         nonlocal pair_index
@@ -85,33 +91,32 @@ def main() -> int:
         pair_index += chunk.shape[0] - 1
         return emulator.submit_batch(interp, times), n_out
 
-    t0 = time.perf_counter()
+    t_meas_start = None
+    t_end = None
+
+    def drain_one():
+        nonlocal total_events, total_dvs_time, t_meas_start, t_end
+        fut, pc, pn = pending.popleft()
+        events, _, _ = fut.result()
+        n_ev = events.shape[0]
+        if pc == N_WARM - 1:
+            t_meas_start = time.perf_counter()
+        if pc >= N_WARM:
+            total_events += n_ev
+            total_dvs_time += B * src_interval
+            t_end = time.perf_counter()
+        print(f"# chunk {pc}: {pn} interp frames, {n_ev} events",
+              file=sys.stderr)
+
     for c in range(n_chunks):
         handle, n_out = submit(c)
-        if pending is not None:
-            ph, pc, pn = pending
-            events, _, _ = emulator.collect(ph)
-            n_ev = events.shape[0]
-            t1 = time.perf_counter()
-            if pc >= N_WARM:
-                wall += t1 - t0
-                total_events += n_ev
-                total_dvs_time += B * src_interval
-            print(
-                f"# chunk {pc}: {pn} interp frames, {n_ev} events, "
-                f"{t1 - t0:.3f}s", file=sys.stderr,
-            )
-            t0 = t1
-        pending = (handle, c, n_out)
-    ph, pc, pn = pending
-    events, _, _ = emulator.collect(ph)
-    t1 = time.perf_counter()
-    if pc >= N_WARM:
-        wall += t1 - t0
-        total_events += events.shape[0]
-        total_dvs_time += B * src_interval
-    print(f"# chunk {pc}: {pn} interp frames, {events.shape[0]} events, "
-          f"{t1 - t0:.3f}s", file=sys.stderr)
+        pending.append((collector.submit(emulator.collect, handle), c, n_out))
+        if len(pending) > DEPTH:
+            drain_one()
+    while pending:
+        drain_one()
+    collector.shutdown()
+    wall = t_end - t_meas_start
 
     rt_factor = total_dvs_time / wall
     meps = total_events / wall / 1e6

@@ -109,6 +109,7 @@ class EventEmulator:
         record_single_pixel_states: Optional[Tuple[int, int]] = None,
         label_signal_noise: bool = False,
         shuffle_events_within_iteration: bool = True,
+        compaction_capacity_hint: Optional[int] = None,
     ):
         if record_single_pixel_states is not None:
             if (
@@ -170,7 +171,14 @@ class EventEmulator:
         seed_val = seed if seed != 0 else int.from_bytes(os.urandom(4), "little")
         self._key = jax.random.key(seed_val)
         self._pr_noise_pending = False
-        self._capacity = 16384
+        # sparse-compaction capacity: adapts to the event rate, but each new
+        # power-of-two bucket recompiles the chunk program — pass a hint for
+        # steady long runs (e.g. expected events per chunk x 2)
+        self._capacity = (
+            _capacity_bucket(compaction_capacity_hint)
+            if compaction_capacity_hint
+            else 16384
+        )
         self._np_rng = np.random.default_rng(seed if seed != 0 else None)
 
         # single pixel probe storage (reference emulator.py:291-302)
@@ -434,8 +442,10 @@ class EventEmulator:
             fetch_cap = min(fetch_cap, handle["capacity"])
             blob = np.asarray(slice_packed(dev_packed["sparse"], fetch_cap))
             packed.update(unpack_sparse_blob(blob, fetch_cap, has_shot))
-            # adapt: keep ~2x headroom for the next chunks
-            self._capacity = max(_capacity_bucket(2 * max(n_occ, 1)), 4096)
+            # adapt grow-only: each new bucket is a recompile, so never shrink
+            self._capacity = max(
+                self._capacity, _capacity_bucket(2 * max(n_occ, 1))
+            )
 
         F, H, W = handle["shape"]
         times = handle["times"]
