@@ -250,6 +250,7 @@ def _run_synthetic(args, other_args, output_folder, output_width, output_height,
             flush()
         pbar.update(1)
     flush()
+    pipeline.close()
     pbar.close()
     syn.cleanup()
     return _finish(args, emulator, renderer, stats)
@@ -328,6 +329,15 @@ def _run_direct(args, frames_iter, frame_interval, emulator, renderer,
     """--disable_slomo path: source frames go straight into the emulator."""
     from tqdm import tqdm
 
+    from v2e_tpu.emulator.pipeline import ChunkPipeline
+
+    pipeline = ChunkPipeline(
+        emulator,
+        lambda ev, lab, off: _feed_renderer(
+            renderer, ev, off, exposure_mode, height, width,
+            args.skip_video_output,
+        ),
+    )
     chunk: List[np.ndarray] = []
     times: List[float] = []
     idx = 0
@@ -335,12 +345,7 @@ def _run_direct(args, frames_iter, frame_interval, emulator, renderer,
     def flush():
         if not chunk:
             return
-        frames = np.stack(chunk)
-        ts = np.array(times, dtype=np.float64)
-        events = emulator.generate_events_batch(frames, ts)
-        if events is not None:
-            _feed_renderer(renderer, events, None, exposure_mode, height, width,
-                           args.skip_video_output)
+        pipeline.push(np.stack(chunk), np.array(times, dtype=np.float64))
         chunk.clear()
         times.clear()
 
@@ -356,6 +361,7 @@ def _run_direct(args, frames_iter, frame_interval, emulator, renderer,
         if len(chunk) >= args.chunk_size:
             flush()
     flush()
+    pipeline.close()
 
 
 if __name__ == "__main__":

@@ -68,6 +68,25 @@ def run_interpolated_pipeline(
     stats_u: List[tuple] = []  # (source time, upsampling factor) per chunk
     pbar = tqdm(desc="slomo+dvs", unit="src fr")
 
+    # depth-2 chunk pipeline with a single collector thread: the device runs
+    # ahead while the host materializes/writes, and device->host fetches
+    # overlap the next submission (critical on remote-attached devices)
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    DEPTH = 2
+    collector = ThreadPoolExecutor(1)
+    pending: deque = deque()
+
+    def drain_one() -> None:
+        fut = pending.popleft()
+        events, _, offsets = fut.result()
+        if events.shape[0]:
+            feed_renderer(
+                renderer, events, offsets, exposure_mode,
+                output_height, output_width, args.skip_video_output,
+            )
+
     def process_window() -> None:
         nonlocal pair_index
         if len(window) < 2:
@@ -84,12 +103,11 @@ def run_interpolated_pipeline(
         rel = np.arange(n_out, dtype=np.float64) / U
         times = (pair_index + rel) * src_frame_interval
 
-        events = emulator.generate_events_batch(interp, times)
-        if events is not None:
-            feed_renderer(
-                renderer, events, None, exposure_mode,
-                output_height, output_width, args.skip_video_output,
-            )
+        handle = emulator.submit_batch(interp, times)
+        if handle is not None:
+            pending.append(collector.submit(emulator.collect, handle))
+            if len(pending) > DEPTH:
+                drain_one()
 
         if orig_writer is not None or slomo_writer is not None:
             import cv2
@@ -120,6 +138,9 @@ def run_interpolated_pipeline(
         if len(window) >= args.batch_size + 1:
             process_window()
     process_window()
+    while pending:
+        drain_one()
+    collector.shutdown()
     pbar.close()
 
     if orig_writer is not None:
