@@ -215,6 +215,19 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                             help="frames per compiled device chunk")
     perf_group.add_argument("--no_shuffle", action="store_true",
                             help="skip the within-iteration random event shuffle")
+    perf_group.add_argument("--profile", action="store_true",
+                            help="capture a JAX profiler trace of the conversion "
+                                 "into <output_folder>/jax-trace")
+    perf_group.add_argument("--compaction_capacity", type=int, default=None,
+                            help="sparse-compaction capacity hint (events per "
+                                 "chunk x2); avoids adaptation recompiles on "
+                                 "long runs")
+    perf_group.add_argument("--checkpoint_state", default=None,
+                            help="save the emulator state to this .npz at the "
+                                 "end (resume with --resume_state)")
+    perf_group.add_argument("--resume_state", default=None,
+                            help="restore emulator state from a .npz written "
+                                 "by --checkpoint_state before converting")
 
     return parser
 

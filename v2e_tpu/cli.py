@@ -90,19 +90,32 @@ def main(argv: Optional[List[str]] = None) -> int:
     output_width, output_height = set_size_from_camera(args)
     exposure_mode, exposure_val, area_dimension = v2e_check_dvs_exposure_args(args)
 
-    if args.synthetic_input is not None:
-        return _run_synthetic(
-            args, other_args, output_folder, output_width, output_height,
+    def run() -> int:
+        if args.synthetic_input is not None:
+            return _run_synthetic(
+                args, other_args, output_folder, output_width, output_height,
+                exposure_mode, exposure_val, area_dimension,
+            )
+        return _run_video(
+            args, output_folder, output_width, output_height,
             exposure_mode, exposure_val, area_dimension,
         )
-    return _run_video(
-        args, output_folder, output_width, output_height,
-        exposure_mode, exposure_val, area_dimension,
-    )
+
+    if args.profile:
+        import os
+
+        import jax
+
+        trace_dir = os.path.join(output_folder, "jax-trace")
+        logger.info(f"capturing JAX profiler trace to {trace_dir}")
+        with jax.profiler.trace(trace_dir):
+            return run()
+    return run()
 
 
 def _make_emulator(args, output_folder, output_width, output_height):
     em = EventEmulator(
+        compaction_capacity_hint=args.compaction_capacity,
         pos_thres=args.pos_thres,
         neg_thres=args.neg_thres,
         sigma_thres=args.sigma_thres,
@@ -137,6 +150,8 @@ def _make_emulator(args, output_folder, output_width, output_height):
         em.prepare_storage(None, None)  # growable DDD frame datasets
     elif args.ddd_output:
         logger.warning("--ddd_output requires --dvs_h5; ignoring")
+    if args.resume_state:
+        em.load_state(args.resume_state)
     return em
 
 
@@ -156,6 +171,11 @@ def _make_renderer(args, output_folder, exposure_mode, exposure_val, area_dimens
 
 
 def _finish(args, emulator, renderer, stats: _Stats) -> int:
+    if args.checkpoint_state:
+        try:
+            emulator.save_state(args.checkpoint_state)
+        except RuntimeError as e:
+            logger.warning(f"could not checkpoint emulator state: {e}")
     emulator.cleanup()
     if renderer is not None:
         renderer.cleanup()
@@ -218,6 +238,15 @@ def _run_synthetic(args, other_args, output_folder, output_width, output_height,
 
     from tqdm import tqdm
 
+    from v2e_tpu.emulator.pipeline import ChunkPipeline
+
+    pipeline = ChunkPipeline(
+        emulator,
+        lambda ev, lab, off: _feed_renderer(
+            renderer, ev, off, exposure_mode,
+            output_height, output_width, args.skip_video_output,
+        ),
+    )
     chunk_frames: List[np.ndarray] = []
     chunk_times: List[float] = []
     pbar = tqdm(total=syn.total_frames(), desc="synthetic", unit="fr")
@@ -225,14 +254,9 @@ def _run_synthetic(args, other_args, output_folder, output_width, output_height,
     def flush():
         if not chunk_frames:
             return
-        frames = np.stack(chunk_frames)
-        times = np.array(chunk_times, dtype=np.float64)
-        events = emulator.generate_events_batch(frames, times)
-        if events is not None:
-            _feed_renderer(
-                renderer, events, None, exposure_mode,
-                output_height, output_width, args.skip_video_output,
-            )
+        pipeline.push(
+            np.stack(chunk_frames), np.array(chunk_times, dtype=np.float64)
+        )
         chunk_frames.clear()
         chunk_times.clear()
 
