@@ -155,3 +155,22 @@ class TestThresholdEstimator:
         )
         assert abs(pos - 0.3) < 0.1
         assert abs(neg - 0.3) < 0.1
+
+
+class TestStreamingReader:
+    def test_stream_matches_sequential(self, ddd_file):
+        from v2e_tpu.io.ddd import DDD20StreamingReader
+
+        stream = DDD20StreamingReader(ddd_file, rotate180=False)
+        types = [p["etype"] for p in stream]
+        stream.close()
+        assert types == ["frame_event", "polarity_event", "frame_event",
+                         "polarity_event"]
+
+    def test_stream_early_close(self, ddd_file):
+        from v2e_tpu.io.ddd import DDD20StreamingReader
+
+        stream = DDD20StreamingReader(ddd_file, rotate180=False)
+        it = iter(stream)
+        next(it)
+        stream.close()  # must not hang

@@ -231,6 +231,71 @@ class DDD20SimpleReader:
         self.f_in.close()
 
 
+class DDD20StreamingReader:
+    """Background-prefetching packet stream over a DDD recording.
+
+    Equivalent of the reference's multiprocessing reader stack
+    (ddd_h5_reader.py:226-546: HDF5Stream + MergedStream processes with
+    queues): a single producer thread reads and unpacks packets ahead of
+    the consumer into a bounded queue.  Threads suffice here — h5py reads
+    release the GIL and the unpacking is numpy — so the queue/Event
+    discipline of the reference collapses to queue.Queue.
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, fname: str, rotate180: bool = True, bufsize: int = 256,
+                 start_time_s: Optional[float] = None,
+                 stop_time_s: Optional[float] = None):
+        import queue
+        import threading
+
+        self.reader = DDD20SimpleReader(fname, rotate180=rotate180)
+        self.q: "queue.Queue" = queue.Queue(bufsize)
+        self._stop = threading.Event()
+        start = self.reader.search(start_time_s) if start_time_s else self.reader.firstPacketNumber
+        stop = (
+            self.reader.search(stop_time_s)
+            if stop_time_s is not None
+            else self.reader.numPackets
+        )
+        if start is False or stop is False:
+            raise ValueError("start/stop time outside recording")
+        self._range = (start, stop)
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._thread.start()
+
+    def _produce(self) -> None:
+        start, stop = self._range
+        for k in range(start, stop):
+            if self._stop.is_set():
+                break
+            packet = self.reader.readPacket(k)
+            if packet is False:
+                continue
+            self.q.put(packet)
+        self.q.put(self._SENTINEL)
+
+    def __iter__(self):
+        while True:
+            item = self.q.get()
+            if item is self._SENTINEL:
+                return
+            yield item
+
+    def close(self) -> None:
+        self._stop.set()
+        # drain so the producer can exit
+        try:
+            while True:
+                if self.q.get_nowait() is self._SENTINEL:
+                    break
+        except Exception:
+            pass
+        self._thread.join(timeout=5)
+        self.reader.close()
+
+
 class DDDH5Writer:
     """Append-structured DDD-style HDF5 recorder.
 
