@@ -268,7 +268,7 @@ def _run_synthetic(args, other_args, output_folder, output_width, output_height,
             stats.first_ts = t
         stats.last_ts = t
         stats.n_frames += 1
-        chunk_frames.append(np.asarray(frame, dtype=np.float32))
+        chunk_frames.append(np.asarray(frame))
         chunk_times.append(float(t))
         if len(chunk_frames) >= args.chunk_size:
             flush()

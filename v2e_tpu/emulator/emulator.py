@@ -382,7 +382,9 @@ class EventEmulator:
                 float(times[start]) - self.t_previous
             )
 
-        chunk = jnp.asarray(frames[start:], dtype=jnp.float32)
+        # ship in the source dtype (uint8 video frames cost 4x less over the
+        # host link); the device casts to f32 in the chunk program
+        chunk = jnp.asarray(frames[start:])
         t_origin = self.t_origin
         rel_times = jnp.asarray(times[start:] - t_origin, dtype=jnp.float32)
 

@@ -121,4 +121,7 @@ def luma_frames(
             frame = cv2.resize(
                 frame, (output_width, output_height), interpolation=cv2.INTER_AREA
             )
-        yield frame.astype(np.float32)
+        # keep uint8 (4x cheaper host->device); HDR inputs stay float
+        yield frame if frame.dtype == np.uint8 and not hdr else frame.astype(
+            np.float32
+        )
