@@ -67,12 +67,19 @@ def warp(
     """
     if not use_pallas:
         return backwarp(img, flow)
-    from v2e_tpu.ops.pallas.warp import bilinear_warp_pallas
 
     n, c, H, W = img.shape
-    out = bilinear_warp_pallas(
-        img.reshape(n * c, H, W),
-        jnp.repeat(flow, c, axis=0) if c > 1 else flow,
-        max_disp,
-    )
+    img3 = img.reshape(n * c, H, W)
+    flow3 = jnp.repeat(flow, c, axis=0) if c > 1 else flow
+    if max_disp <= 32:
+        from v2e_tpu.ops.pallas.warp import bilinear_warp_pallas
+
+        out = bilinear_warp_pallas(img3, flow3, max_disp)
+    else:
+        # fast motion: the tiled kernel supports large per-tile base
+        # displacements (quantized) with a small residual window
+        from v2e_tpu.ops.pallas.warp_v2 import bilinear_warp_tiled
+
+        max_base = -(-int(max_disp) // 128) * 128
+        out = bilinear_warp_tiled(img3, flow3, max_base)
     return out.reshape(n, c, H, W)

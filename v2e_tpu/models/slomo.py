@@ -318,16 +318,16 @@ class SuperSloMo:
         I0, I1 = x[:-1], x[1:]
         flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype)
         U = self.choose_upsampling(flow_out)
-        # the Pallas warp clamps displacements at warp_max_disp; in auto
-        # mode U tracks the max flow magnitude, so fall back to the exact
-        # XLA warp for fast-motion chunks beyond the window
-        use_pallas = self.use_pallas_warp and (
-            not self.auto_upsample or U <= self.warp_max_disp
-        )
+        # in auto mode U tracks the max flow magnitude: widen the warp
+        # window with it so fast-motion chunks use the large-displacement
+        # tiled kernel instead of clamping (U buckets bound the compiles)
+        max_disp = self.warp_max_disp
+        if self.auto_upsample and U > max_disp:
+            max_disp = U
         interp = interpolate_pairs(
             self.flow_params, self.interp_params, I0, I1, U,
             self.max_group, self.compute_dtype,
-            use_pallas, self.warp_max_disp,
+            self.use_pallas_warp, max_disp,
             flow_out=flow_out,
         )
         out = postprocess_frames(interp, H, W, quantize)

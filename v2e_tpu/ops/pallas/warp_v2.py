@@ -1,0 +1,180 @@
+"""Bilinear warp v2: per-tile dynamic base offsets + small residual window.
+
+The v1 kernel (warp.py) uses a static displacement window M around every
+output tile, and the MXU work per pixel scales with the window area —
+lane-dim rounding forces RW to 256 once BW + 2M + 2 > 128.  Flow fields are
+smooth, so v2 instead:
+
+1. (XLA prepass) computes an integer base displacement per output tile
+   (the rounded mean flow over the tile), clamped to ±max_base;
+2. (kernel) DMAs the input region at the dynamically offset position
+   (scalar-prefetched per-tile offsets) and evaluates the bilinear sample
+   against a small residual window M_res that only has to cover the flow
+   VARIATION within the tile plus the rounding.
+
+Mosaic requires dynamic slice starts provably aligned to the (8, 128)
+tiling, so the base displacements are quantized (rows to multiples of 8,
+columns to multiples of 128) and the residual windows absorb the
+quantization: M_ROW = 12 covers ±6 px intra-tile row variation, M_COL = 72
+covers the ±64 px column quantization plus ±7 px variation.  Net: any base
+displacement up to ±max_base at ~1.25x the cost of the static-window v1
+kernel — used for fast-motion chunks where v1's window would clamp.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BH = 8
+BW = 128
+M_ROW = 12  # row residual: intra-tile variation + 8-quantization (+-4)
+M_COL = 72  # col residual: intra-tile variation + 128-quantization (+-64)
+RH = 40  # BH + 2*M_ROW + 2 = 34 -> sublane multiple
+RW = 384  # BW + 2*M_COL + 2 = 274 -> lane multiple
+
+
+def _kernel(bu_ref, bv_ref, img_hbm, u_ref, v_ref, out_ref, region, sem, *,
+            ROW_SHIFT, COL_SHIFT):
+    n = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    n_tj = pl.num_programs(2)
+    tile = (n * pl.num_programs(1) + ti) * n_tj + tj
+    bu = bu_ref[tile]  # per-tile integer base displacement (original coords)
+    bv = bv_ref[tile]
+    r0 = ti * BH
+    c0 = tj * BW
+    # region covers original rows [r0+bv-(M_RES+1), ...+RH); the image is
+    # padded by PAD = max_base + M_RES + 2, so the padded-space start
+    # r0 + bv + PAD - (M_RES+1) is always >= 0
+    # starts are provably tile-aligned: bv is a multiple of 8, bu of 128,
+    # and the shifts are chosen as multiples of 8/128 in the wrapper
+    row_start = pl.multiple_of(r0 + bv + ROW_SHIFT, 8)
+    col_start = pl.multiple_of(c0 + bu + COL_SHIFT, 128)
+    dma = pltpu.make_async_copy(
+        img_hbm.at[n, pl.ds(row_start, RH), pl.ds(col_start, RW)],
+        region, sem,
+    )
+    dma.start()
+
+    u = u_ref[0]
+    v = v_ref[0]
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0).astype(jnp.float32)
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1).astype(jnp.float32)
+    buf = bu.astype(jnp.float32)
+    bvf = bv.astype(jnp.float32)
+    # residual sample coords relative to the tile origin, after removing the
+    # per-tile base displacement; clamped to the residual windows
+    ly = jnp.clip(rows_iota + (v - bvf) - 0.5, -jnp.float32(M_ROW),
+                  jnp.float32(BH - 1 + M_ROW))
+    lx = jnp.clip(cols_iota + (u - buf) - 0.5, -jnp.float32(M_COL),
+                  jnp.float32(BW - 1 + M_COL))
+    ly = ly + jnp.float32(M_ROW + 1)
+    lx = lx + jnp.float32(M_COL + 1)
+    y0 = jnp.floor(ly)
+    x0 = jnp.floor(lx)
+    wy = ly - y0
+    wx = lx - x0
+
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (RW, BW), 0).astype(jnp.float32)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (RH, BW), 0).astype(jnp.float32)
+
+    b_blocks = []
+    for i in range(BH):
+        x0i = x0[i : i + 1, :]
+        wxi = wx[i : i + 1, :]
+        b_blocks.append(
+            jnp.where(cidx == x0i, 1.0 - wxi, 0.0)
+            + jnp.where(cidx == x0i + 1.0, wxi, 0.0)
+        )
+    B_all = jnp.concatenate(b_blocks, axis=1)  # (RW, BH*BW)
+
+    dma.wait()
+    T = jnp.dot(
+        region[:], B_all,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (RH, BH*BW)
+
+    out_rows = []
+    for i in range(BH):
+        y0i = y0[i : i + 1, :]
+        wyi = wy[i : i + 1, :]
+        Aoh = jnp.where(ridx == y0i, 1.0 - wyi, 0.0) + jnp.where(
+            ridx == y0i + 1.0, wyi, 0.0
+        )
+        Ti = T[:, i * BW : (i + 1) * BW]
+        out_rows.append(jnp.sum(Aoh * Ti, axis=0, keepdims=True))
+    out_ref[0] = jnp.concatenate(out_rows, axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def bilinear_warp_tiled(
+    img: jnp.ndarray,
+    flow: jnp.ndarray,
+    max_base: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Warp ``img`` by ``flow`` (zero padding, the reference's half-pixel
+    offset).  Exact for flows whose per-tile mean is within ±max_base and
+    whose intra-tile deviation from that mean is within ±(M_RES-1).
+
+    img: [N,H,W] f32;  flow: [N,2,H,W] f32.  Returns [N,H,W] f32.
+    """
+    N, H, W = img.shape
+    # paddings chosen as multiples of the tiling so the shifted dynamic
+    # starts stay provably aligned
+    PAD_R = -(-(max_base + M_ROW + 2) // 8) * 8 + (M_ROW + 1) % 8
+    PAD_C = -(-(max_base + M_COL + 2) // 128) * 128 + (M_COL + 1) % 128
+    ROW_SHIFT = PAD_R - (M_ROW + 1)
+    COL_SHIFT = PAD_C - (M_COL + 1)
+    assert ROW_SHIFT % 8 == 0 and COL_SHIFT % 128 == 0
+    Ht = -(-H // BH) * BH
+    Wt = -(-W // BW) * BW
+    nty, ntx = Ht // BH, Wt // BW
+    # enough margin that any region slice stays in bounds
+    Hp = (nty - 1) * BH + RH + 2 * PAD_R
+    Wp = (ntx - 1) * BW + RW + 2 * PAD_C
+    img_p = jnp.pad(img, ((0, 0), (PAD_R, Hp - H - PAD_R), (PAD_C, Wp - W - PAD_C)))
+    # edge-replicate so partially-padded boundary tiles get representative
+    # base displacements from the mean
+    u = jnp.pad(flow[:, 0], ((0, 0), (0, Ht - H), (0, Wt - W)), mode="edge")
+    v = jnp.pad(flow[:, 1], ((0, 0), (0, Ht - H), (0, Wt - W)), mode="edge")
+
+    # per-tile base displacement = mean flow quantized to the tiling
+    u5 = u.reshape(N, nty, BH, ntx, BW)
+    v5 = v.reshape(N, nty, BH, ntx, BW)
+    bu = jnp.clip(
+        128 * jnp.round(jnp.mean(u5, axis=(2, 4)) / 128.0), -max_base, max_base
+    ).astype(jnp.int32)
+    bv = jnp.clip(
+        8 * jnp.round(jnp.mean(v5, axis=(2, 4)) / 8.0), -max_base, max_base
+    ).astype(jnp.int32)
+    bu_flat = bu.reshape(-1)
+    bv_flat = bv.reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, nty, ntx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, BH, BW), lambda n, i, j, *_: (n, i, j)),
+            pl.BlockSpec((1, BH, BW), lambda n, i, j, *_: (n, i, j)),
+        ],
+        out_specs=pl.BlockSpec((1, BH, BW), lambda n, i, j, *_: (n, i, j)),
+        scratch_shapes=[
+            pltpu.VMEM((RH, RW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, ROW_SHIFT=ROW_SHIFT, COL_SHIFT=COL_SHIFT),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, Ht, Wt), jnp.float32),
+        interpret=interpret,
+    )(bu_flat, bv_flat, img_p, u, v)
+    return out[:, :H, :W]
