@@ -1,0 +1,96 @@
+"""CLI coverage: auto-upsampling, time windows, slow-motion factor, HDR."""
+import numpy as np
+import pytest
+
+from v2e_tpu.cli import main
+
+
+@pytest.fixture
+def small_video(tmp_path):
+    import cv2
+
+    vid = str(tmp_path / "in.avi")
+    w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"XVID"), 30, (64, 48))
+    for i in range(10):
+        fr = np.full((48, 64, 3), 70, np.uint8)
+        fr[:, 4 * i : 4 * i + 8] = 190
+        w.write(fr)
+    w.release()
+    return vid
+
+
+def run(tmp_path, extra):
+    return main([
+        "--output_folder", str(tmp_path / "out"),
+        "--unique_output_folder", "false", "--overwrite",
+        "--dvs_params", "clean", "--skip_video_output", "--no_shuffle",
+        "--dvs_text", "ev.txt",
+    ] + extra)
+
+
+class TestAutoUpsample:
+    def test_auto_mode_runs_and_refines_timestamps(self, tmp_path, small_video):
+        rc = run(tmp_path, ["-i", small_video, "--batch_size", "4"])
+        assert rc == 0
+        ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")
+        assert ev.shape[0] > 0
+        # auto upsampling must give sub-frame-interval timestamps
+        assert np.min(np.diff(np.unique(ev[:, 0]))) < 1 / 30.0
+
+
+class TestTimeWindows:
+    def test_start_stop_time(self, tmp_path, small_video):
+        rc = run(tmp_path, [
+            "-i", small_video, "--disable_slomo",
+            "--start_time", "0.1", "--stop_time", "0.2",
+        ])
+        assert rc == 0
+        ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")
+        # frames 3..5 only -> events exist but fewer than full run
+        assert 0 < ev.shape[0]
+        assert ev[:, 0].max() <= 0.2 + 1e-6
+
+    def test_input_slowmotion_factor(self, tmp_path, small_video):
+        rc = run(tmp_path, [
+            "-i", small_video, "--disable_slomo",
+            "--input_slowmotion_factor", "10",
+        ])
+        assert rc == 0
+        ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")
+        # 10 frames at (1/30)/10 s intervals -> all events within 33 ms
+        assert ev[:, 0].max() < 0.04
+
+    def test_input_frame_rate_override(self, tmp_path, small_video):
+        rc = run(tmp_path, [
+            "-i", small_video, "--disable_slomo",
+            "--input_frame_rate", "300",
+        ])
+        assert rc == 0
+        ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")
+        assert ev[:, 0].max() < 0.04
+
+
+class TestHDR:
+    def test_hdr_synthetic_particles(self, tmp_path):
+        rc = run(tmp_path, [
+            "--synthetic_input", "v2e_tpu.synthetic.particles",
+            "--disable_slomo", "--hdr",
+            "--output_width", "64", "--output_height", "48",
+            "--total_time", "0.005", "--num_particles", "20",
+            "--contrast", "1.5", "--speed_min", "500", "--speed_max", "1000",
+        ])
+        assert rc == 0
+        ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")
+        assert ev.shape[0] > 0
+
+
+class TestCrop:
+    def test_crop(self, tmp_path, small_video):
+        rc = run(tmp_path, [
+            "-i", small_video, "--disable_slomo",
+            "--crop", "8,8,4,4",
+        ])
+        assert rc == 0
+        ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")
+        assert ev[:, 1].max() < 64 - 16
+        assert ev[:, 2].max() < 48 - 8
