@@ -28,24 +28,19 @@ def main(argv=None) -> int:
     p.add_argument("--dt", type=float, default=100e-6)
     args = p.parse_args(argv)
 
+    import jax.numpy as jnp
+
     from v2e_tpu.emulator import EventEmulator
-    from v2e_tpu.synthetic.moving_dot import moving_dot
+    from v2e_tpu.synthetic.device import moving_dot_frames
 
     H, W = args.height, args.width
-    syn = moving_dot(
-        width=W, height=H, preview=False,
-        arg_list=["--t_total", str(args.frames * args.dt),
-                  "--dt", str(args.dt)],
-    )
-    frames = []
-    for _ in range(args.frames):
-        fr, t = syn.next_frame()
-        if fr is None:
-            break
-        frames.append(fr)
-    frames = np.stack(frames)
-    times = np.arange(len(frames)) * args.dt
-    print(f"# {len(frames)} frames of {H}x{W}", file=sys.stderr)
+    # frames are generated ON DEVICE (pixel-exact parity with the host
+    # moving_dot plugin) so the benchmark measures the emulator, not the
+    # host->device link
+    times = np.arange(args.frames) * args.dt
+    frames = moving_dot_frames(jnp.asarray(times), W, H)
+    frames.block_until_ready()
+    print(f"# {args.frames} device-generated frames of {H}x{W}", file=sys.stderr)
 
     em = EventEmulator(
         pos_thres=0.2, neg_thres=0.2, sigma_thres=0.03,

@@ -1,0 +1,46 @@
+"""Device-side synthetic generators: pixel-exact parity with host plugins."""
+import jax.numpy as jnp
+import numpy as np
+
+from v2e_tpu.synthetic.device import gradients_frames, moving_dot_frames
+from v2e_tpu.synthetic.gradients import gradients
+from v2e_tpu.synthetic.moving_dot import moving_dot
+
+
+def collect(syn):
+    frames, ts = [], []
+    for _ in range(syn.total_frames()):
+        fr, t = syn.next_frame()
+        if fr is None:
+            break
+        frames.append(fr)
+        ts.append(t)
+    return np.stack(frames), np.array(ts)
+
+
+class TestDeviceGenerators:
+    def test_moving_dot_parity(self):
+        syn = moving_dot(width=96, height=80, preview=False,
+                         arg_list=["--t_total", "0.005", "--radius", "30"])
+        host, ts = collect(syn)
+        dev = np.asarray(
+            moving_dot_frames(jnp.asarray(ts), 96, 80, 5, 10.0, 5.0, 30.0)
+        )
+        np.testing.assert_array_equal(host.astype(np.float32), dev)
+
+    def test_gradients_parity(self):
+        syn = gradients(width=96, height=32, preview=False,
+                        arg_list=["--total_time", "0.003"])
+        host, ts = collect(syn)
+        dev = np.asarray(gradients_frames(jnp.asarray(ts), 96, 32))
+        np.testing.assert_array_equal(host.astype(np.float32), dev)
+
+    def test_feeds_emulator_without_host_roundtrip(self):
+        from v2e_tpu.emulator import EventEmulator
+
+        ts = np.arange(20) * 1e-3
+        frames = moving_dot_frames(jnp.asarray(ts), 64, 48, 3, 10.0, 5.0, 15.0)
+        em = EventEmulator(sigma_thres=0.0, leak_rate_hz=0.0, cutoff_hz=0.0,
+                           seed=3)
+        ev = em.generate_events_batch(frames, ts)  # jnp frames: no H2D
+        assert ev is not None and ev.shape[0] > 0
