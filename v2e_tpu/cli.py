@@ -41,6 +41,12 @@ def get_args(argv: Optional[List[str]] = None):
         allow_abbrev=True,
     )
     parser = v2e_args(parser)
+    try:  # shell completion, like the reference (v2e.py:99)
+        import argcomplete
+
+        argcomplete.autocomplete(parser)
+    except ImportError:
+        pass
     args, other_args = parser.parse_known_args(argv)
     return args, other_args
 

@@ -31,58 +31,6 @@ BH = 8
 BW = 128
 
 
-def _warp_kernel(img_hbm, u_ref, v_ref, out_ref, region, sem, *, M, RH, RW, Hp, Wp):
-    n = pl.program_id(0)
-    ti = pl.program_id(1)
-    tj = pl.program_id(2)
-    r0 = ti * BH
-    c0 = tj * BW
-    # region rows [r0-P, r0-P+RH) of the original image = rows [r0, r0+RH)
-    # of the (P=M+1)-padded image
-    dma = pltpu.make_async_copy(
-        img_hbm.at[n, pl.ds(r0, RH), pl.ds(c0, RW)], region, sem
-    )
-    dma.start()
-
-    u = u_ref[0]
-    v = v_ref[0]
-    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 0).astype(jnp.float32)
-    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (BH, BW), 1).astype(jnp.float32)
-    # sample coords relative to the tile origin, clamped to the window
-    ly = rows_iota + v - 0.5
-    lx = cols_iota + u - 0.5
-    fM = jnp.float32(M)
-    ly = jnp.clip(ly, -fM, jnp.float32(BH - 1) + fM)
-    lx = jnp.clip(lx, -fM, jnp.float32(BW - 1) + fM)
-    # shift into region-local coordinates (region starts at -(M+1))
-    ly = ly + jnp.float32(M + 1)
-    lx = lx + jnp.float32(M + 1)
-    y0 = jnp.floor(ly)
-    x0 = jnp.floor(lx)
-    wy = ly - y0
-    wx = lx - x0
-
-    P = BH * BW
-    y0f = y0.reshape(P, 1)
-    wyf = wy.reshape(P, 1)
-    x0f = x0.reshape(P, 1)
-    wxf = wx.reshape(P, 1)
-
-    rr = jax.lax.broadcasted_iota(jnp.int32, (P, RH), 1).astype(jnp.float32)
-    Rw = jnp.where(rr == y0f, 1.0 - wyf, 0.0) + jnp.where(
-        rr == y0f + 1.0, wyf, 0.0
-    )
-    dma.wait()
-    rows = jnp.dot(Rw, region[:], preferred_element_type=jnp.float32)
-
-    cc = jax.lax.broadcasted_iota(jnp.int32, (P, RW), 1).astype(jnp.float32)
-    Cw = jnp.where(cc == x0f, 1.0 - wxf, 0.0) + jnp.where(
-        cc == x0f + 1.0, wxf, 0.0
-    )
-    out = jnp.sum(rows * Cw, axis=1, keepdims=True)  # (P, 1)
-    out_ref[0] = out.reshape(BH, BW)
-
-
 def _warp_kernel_rowwise(
     img_hbm, u_ref, v_ref, out_ref, region, sem, *, M, RH, RW
 ):
