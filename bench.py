@@ -48,7 +48,7 @@ def main() -> int:
     H, W = 260, 346
     SRC_FPS = 30.0
     U = 10  # 10x slowdown
-    B = 32  # pairs per chunk
+    B = 16  # pairs per chunk
     N_WARM = 5  # covers compile + compaction-capacity adaptation
     N_MEAS = 10
 
