@@ -187,3 +187,53 @@ class TestPipelineE2E:
         assert np.all(np.diff(ev[:, 0]) >= 0)
         # interpolated timestamps are finer than the 33ms source interval
         assert np.min(np.diff(np.unique(ev[:, 0]))) < 1 / 30.0
+
+
+class TestHighUpsampling:
+    def test_slice_generator_bounds_memory(self):
+        """Colab-scale factors must be emitted in bounded pair slices."""
+        sm = SuperSloMo(model=None, auto_upsample=False, upsampling_factor=64,
+                        max_out_frames=128)
+        frames = jnp.asarray(
+            np.random.default_rng(0).uniform(0, 255, (5, 32, 64)).astype(np.float32)
+        )
+        U, slices = sm.interpolate_batch_slices(frames, 32, 64)
+        assert U == 64
+        outs = list(slices)
+        # 4 pairs x 64 frames with <=128 frames per slice -> 2 pairs/slice
+        assert [o.shape[0] for o, _ in outs] == [128, 128]
+        assert [off for _, off in outs] == [0, 2]
+        total = np.concatenate([np.asarray(o) for o, _ in outs])
+        # equals the one-shot batch result
+        want, _ = sm.interpolate_batch(frames, 32, 64)
+        np.testing.assert_allclose(total, np.asarray(want), atol=1e-6)
+
+    def test_pipeline_high_u_end_to_end(self, tmp_path):
+        import cv2
+
+        from v2e_tpu.cli import main
+
+        vid = str(tmp_path / "in.avi")
+        w = cv2.VideoWriter(vid, cv2.VideoWriter_fourcc(*"XVID"), 30, (64, 48))
+        for i in range(6):
+            fr = np.full((48, 64, 3), 80, np.uint8)
+            fr[:, 6 * i : 6 * i + 8] = 180
+            w.write(fr)
+        w.release()
+
+        rc = main([
+            "-i", vid,
+            "--output_folder", str(tmp_path / "out"),
+            "--unique_output_folder", "false", "--overwrite",
+            "--timestamp_resolution", "0.002",  # ~16x upsampling
+            "--auto_timestamp_resolution", "false",
+            "--batch_size", "4",
+            "--dvs_text", "ev.txt",
+            "--dvs_params", "clean",
+            "--skip_video_output", "--no_shuffle",
+        ])
+        assert rc == 0
+        ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")
+        assert ev.shape[0] > 0
+        assert np.all(np.diff(ev[:, 0]) >= 0)
+        assert np.min(np.diff(np.unique(ev[:, 0]))) < 0.004

@@ -68,7 +68,16 @@ def _update_csdvs(
 
     num_steps = jnp.ceil((delta_time / min_tau) * CS_NUM_STEPS_PER_TAU).astype(jnp.int32)
     num_steps = jnp.minimum(jnp.maximum(num_steps, 1), CS_MAX_STEPS)
-    actual_dt = delta_time / num_steps.astype(jnp.float32)
+    # actual_dt derives from the UNCAPPED step count so the Euler update
+    # stays unconditionally stable (alpha <= 1/CS_NUM_STEPS_PER_TAU): when
+    # the cap truncates the stepping, the surround lags the frame interval
+    # instead of exploding into checkerboard oscillation (the reference
+    # never caps and can spend thousands of steps per frame,
+    # emulator.py:1077-1121).
+    actual_dt = jnp.minimum(
+        delta_time / num_steps.astype(jnp.float32),
+        min_tau / CS_NUM_STEPS_PER_TAU,
+    )
     alpha_p = actual_dt / tau_p
     alpha_h = actual_dt / tau_h
 

@@ -92,40 +92,46 @@ def run_interpolated_pipeline(
         if len(window) < 2:
             return
         chunk = np.stack(window)
-        interp, U = slomo.interpolate_batch(
+        n_pairs = chunk.shape[0] - 1
+        # pair slices bound device memory at very high upsampling factors
+        # (the Colab-scale ~800x workload, reference README.md:38-41)
+        U, slices = slomo.interpolate_batch_slices(
             jnp.asarray(chunk), output_height, output_width
         )
-        n_pairs = chunk.shape[0] - 1
-        n_out = n_pairs * U
         stats_u.append((pair_index * src_frame_interval, U))
-        # output frame k*U+i of pair k sits at source-unit time k + i/U
-        # (reference slomo.py:389-400)
-        rel = np.arange(n_out, dtype=np.float64) / U
-        times = (pair_index + rel) * src_frame_interval
+        for interp, pair_off in slices:
+            n_out = interp.shape[0]
+            # output frame k*U+i of pair k sits at source-unit time k + i/U
+            # (reference slomo.py:389-400)
+            rel = np.arange(n_out, dtype=np.float64) / U
+            times = (pair_index + pair_off + rel) * src_frame_interval
 
-        handle = emulator.submit_batch(interp, times)
-        if handle is not None:
-            pending.append(collector.submit(emulator.collect, handle))
-            if len(pending) > DEPTH:
-                drain_one()
+            handle = emulator.submit_batch(interp, times)
+            if handle is not None:
+                pending.append(collector.submit(emulator.collect, handle))
+                if len(pending) > DEPTH:
+                    drain_one()
 
-        if orig_writer is not None or slomo_writer is not None:
-            import cv2
-
-            if orig_writer is not None:
-                for fr in window[:-1]:
-                    orig_writer.write(
-                        cv2.cvtColor(fr.astype(np.uint8), cv2.COLOR_GRAY2BGR)
-                    )
             if slomo_writer is not None:
+                import cv2
+
                 host = np.asarray(interp).astype(np.uint8)
                 for fr in host:
                     slomo_writer.write(cv2.cvtColor(fr, cv2.COLOR_GRAY2BGR))
 
-        stats.n_frames += n_out
-        if stats.first_ts is None:
-            stats.first_ts = times[0]
-        stats.last_ts = times[-1]
+            stats.n_frames += n_out
+            if stats.first_ts is None:
+                stats.first_ts = times[0]
+            stats.last_ts = times[-1]
+
+        if orig_writer is not None:
+            import cv2
+
+            for fr in window[:-1]:
+                orig_writer.write(
+                    cv2.cvtColor(fr.astype(np.uint8), cv2.COLOR_GRAY2BGR)
+                )
+
         pair_index += n_pairs
         # carry the last source frame as the seed of the next window
         last = window[-1]

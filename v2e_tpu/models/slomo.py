@@ -240,6 +240,7 @@ class SuperSloMo:
         max_group: int = 96,
         use_pallas_warp: Optional[bool] = None,
         warp_max_disp: int = 32,
+        max_out_frames: int = 4096,
     ):
         if not auto_upsample and (
             not isinstance(upsampling_factor, int) or upsampling_factor < 2
@@ -263,6 +264,10 @@ class SuperSloMo:
             use_pallas_warp = jax.default_backend() == "tpu"
         self.use_pallas_warp = use_pallas_warp
         self.warp_max_disp = warp_max_disp
+        # bound on materialized interpolated frames per device call: at the
+        # Colab-scale ~800x upsampling (reference README.md:38-41) a full
+        # batch would be GBs, so pairs are emitted in slices
+        self.max_out_frames = max_out_frames
 
         if model is not None and os.path.isfile(model):
             self.flow_params, self.interp_params = load_slomo_params(model)
@@ -324,14 +329,42 @@ class SuperSloMo:
         max_disp = self.warp_max_disp
         if self.auto_upsample and U > max_disp:
             max_disp = U
-        interp = interpolate_pairs(
-            self.flow_params, self.interp_params, I0, I1, U,
-            self.max_group, self.compute_dtype,
-            self.use_pallas_warp, max_disp,
-            flow_out=flow_out,
-        )
-        out = postprocess_frames(interp, H, W, quantize)
+
+        slices = [
+            s for s, _ in self._emit_slices(I0, I1, flow_out, U, max_disp, H, W, quantize)
+        ]
+        out = slices[0] if len(slices) == 1 else jnp.concatenate(slices)
         return out, U
+
+    def _emit_slices(self, I0, I1, flow_out, U, max_disp, H, W, quantize=True):
+        """Yield (frames [n*U,H,W], pair_offset) in pair slices bounded by
+        max_out_frames — keeps device memory flat at Colab-scale (~800x)
+        upsampling factors."""
+        B = I0.shape[0]
+        pair_slice = max(1, self.max_out_frames // U) if U > 0 else B
+        for s in range(0, B, pair_slice):
+            interp = interpolate_pairs(
+                self.flow_params, self.interp_params,
+                I0[s : s + pair_slice], I1[s : s + pair_slice], U,
+                self.max_group, self.compute_dtype,
+                self.use_pallas_warp, max_disp,
+                flow_out=flow_out[s : s + pair_slice],
+            )
+            yield postprocess_frames(interp, H, W, quantize), s
+
+    def interpolate_batch_slices(self, frames, H, W, quantize=True):
+        """Like interpolate_batch but returns (U, generator of
+        (frames_slice, pair_offset)) without materializing the whole chunk —
+        device memory stays flat at very high upsampling factors."""
+        h32, w32 = snap32(H), snap32(W)
+        x = preprocess_frames(frames, h32, w32)
+        I0, I1 = x[:-1], x[1:]
+        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype)
+        U = self.choose_upsampling(flow_out)
+        max_disp = self.warp_max_disp
+        if self.auto_upsample and U > max_disp:
+            max_disp = U
+        return U, self._emit_slices(I0, I1, flow_out, U, max_disp, H, W, quantize)
 
     # ------------------------------------------------------------------
     def interpolate(
