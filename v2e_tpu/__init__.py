@@ -26,8 +26,29 @@ __version__ = "0.1.0"
 from v2e_tpu.emulator.config import EmulatorConfig
 from v2e_tpu.emulator.emulator import EventEmulator
 
+
+def __getattr__(name):
+    # heavier subsystems load lazily so `import v2e_tpu` stays cheap
+    if name == "SuperSloMo":
+        from v2e_tpu.models.slomo import SuperSloMo
+
+        return SuperSloMo
+    if name == "EventRenderer":
+        from v2e_tpu.render.renderer import EventRenderer
+
+        return EventRenderer
+    if name == "ExposureMode":
+        from v2e_tpu.render.renderer import ExposureMode
+
+        return ExposureMode
+    raise AttributeError(f"module 'v2e_tpu' has no attribute {name!r}")
+
+
 __all__ = [
     "EmulatorConfig",
     "EventEmulator",
+    "SuperSloMo",
+    "EventRenderer",
+    "ExposureMode",
     "__version__",
 ]
