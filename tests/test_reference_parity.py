@@ -1,0 +1,220 @@
+"""Direct cross-validation against the reference emulator (torch CPU).
+
+Runs /root/reference's EventEmulator (with its desktop-only imports stubbed)
+and ours on identical inputs with deterministic configurations (zero
+threshold mismatch, deterministic leak), comparing the event streams
+event-for-event: per-pixel counts, polarities and sub-frame timestamps.
+
+This is the strongest behavioral-parity evidence available without real
+DVS recordings.
+"""
+import math
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+
+
+def _load_reference_emulator():
+    if not os.path.isdir(REFERENCE):
+        return None
+    # stub GUI/packaging-only deps the reference imports at module scope
+    stubs = {
+        "screeninfo": {"get_monitors": lambda: []},
+        "engineering_notation": {"EngNumber": lambda x: x},
+        "dv_processing": {},
+        "easygui": {},
+        "numba": {
+            "jit": lambda *a, **k: (a[0] if a and callable(a[0]) else (lambda f: f)),
+            "njit": lambda *a, **k: (a[0] if a and callable(a[0]) else (lambda f: f)),
+        },
+    }
+    for name, attrs in stubs.items():
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            for k, v in attrs.items():
+                setattr(m, k, v)
+            sys.modules[name] = m
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    try:
+        from v2ecore.emulator import EventEmulator as RefEmulator
+
+        return RefEmulator
+    except Exception:
+        return None
+
+
+RefEmulator = _load_reference_emulator()
+
+pytestmark = pytest.mark.skipif(
+    RefEmulator is None, reason="reference emulator not importable"
+)
+
+
+def run_reference(frames, times, **kw):
+    em = RefEmulator(device="cpu", seed=42, **kw)
+    out = []
+    for fr, t in zip(frames, times):
+        ev = em.generate_events(fr.astype(np.float64), float(t))
+        if ev is not None and len(ev):
+            out.append(np.asarray(ev, dtype=np.float64))
+    return np.concatenate(out) if out else np.empty((0, 4))
+
+
+def run_ours(frames, times, **kw):
+    from v2e_tpu.emulator import EventEmulator
+
+    em = EventEmulator(seed=42, shuffle_events_within_iteration=False, **kw)
+    ev = em.generate_events_batch(frames.astype(np.float32), times)
+    return ev if ev is not None else np.empty((0, 4))
+
+
+def canon(ev):
+    """Canonical event ordering for comparison: by (x, y, t, p)."""
+    idx = np.lexsort((ev[:, 3], ev[:, 0], ev[:, 2], ev[:, 1]))
+    return ev[idx]
+
+
+def assert_streams_match(ref, ours, ts_atol=1e-5, max_mismatch_frac=0.0):
+    assert ref.shape[0] and ours.shape[0], "one stream is empty"
+    if max_mismatch_frac == 0.0:
+        assert ref.shape[0] == ours.shape[0], (ref.shape, ours.shape)
+        r, o = canon(ref), canon(ours)
+        np.testing.assert_array_equal(r[:, 1:3], o[:, 1:3])
+        np.testing.assert_array_equal(r[:, 3], o[:, 3])
+        np.testing.assert_allclose(r[:, 0], o[:, 0], atol=ts_atol)
+    else:
+        # tolerate a small fraction of boundary flips (f32 vs f64 rounding)
+        diff = abs(ref.shape[0] - ours.shape[0])
+        assert diff <= max_mismatch_frac * ref.shape[0], (
+            ref.shape[0], ours.shape[0])
+
+
+@pytest.fixture
+def scene():
+    rng = np.random.default_rng(7)
+    frames = np.clip(
+        140 * np.exp(rng.normal(0, 0.25, (12, 16, 20))), 1, 255
+    ).astype(np.float64)
+    # the reference consumes uint8-like values; quantize both inputs the same
+    frames = np.round(frames)
+    times = np.arange(12) * 0.01
+    return frames, times
+
+
+CLEAN = dict(pos_thres=0.2, neg_thres=0.25, sigma_thres=0.0, cutoff_hz=0.0,
+             leak_rate_hz=0.0, shot_noise_rate_hz=0.0, refractory_period_s=0.0)
+
+
+class TestDeterministicParity:
+    def test_clean_event_for_event(self, scene):
+        frames, times = scene
+        ref = run_reference(frames, times, **CLEAN)
+        ours = run_ours(frames, times, **CLEAN)
+        assert_streams_match(ref, ours)
+
+    def test_refractory_event_for_event(self, scene):
+        frames, times = scene
+        kw = dict(CLEAN, refractory_period_s=0.004)
+        ref = run_reference(frames, times, **kw)
+        ours = run_ours(frames, times, **kw)
+        assert_streams_match(ref, ours)
+
+    def test_deterministic_leak(self, scene):
+        """leak with jitter=0 and cov=0 is RNG-free in both implementations."""
+        frames, times = scene
+        kw = dict(CLEAN, leak_rate_hz=5.0, leak_jitter_fraction=0.0,
+                  noise_rate_cov_decades=0.0)
+        ref = run_reference(frames, times, **kw)
+        ours = run_ours(frames, times, **kw)
+        assert_streams_match(ref, ours, max_mismatch_frac=0.01)
+
+    def test_lowpass_parity(self, scene):
+        """IIR lowpass: f32 rounding at threshold boundaries may flip a tiny
+        fraction of events; counts must agree closely."""
+        frames, times = scene
+        kw = dict(CLEAN, cutoff_hz=50.0)
+        ref = run_reference(frames, times, **kw)
+        ours = run_ours(frames, times, **kw)
+        assert_streams_match(ref, ours, max_mismatch_frac=0.01)
+
+    def test_hdr_event_for_event(self, scene):
+        frames, times = scene
+        log_frames = np.log(frames)
+        kw = dict(CLEAN, hdr=True)
+        ref = run_reference(log_frames.astype(np.float32), times, **kw)
+        ours = run_ours(log_frames.astype(np.float32), times, **kw)
+        assert_streams_match(ref, ours)
+
+    def test_noise_rates_statistical(self):
+        """Shot+leak noise rates agree statistically on a static scene."""
+        frames = np.full((80, 24, 24), 128.0)
+        times = np.arange(80) * 0.005
+        kw = dict(pos_thres=0.2, neg_thres=0.2, sigma_thres=0.0,
+                  cutoff_hz=0.0, leak_rate_hz=2.0, leak_jitter_fraction=0.1,
+                  noise_rate_cov_decades=0.0, shot_noise_rate_hz=20.0,
+                  refractory_period_s=0.0)
+        ref = run_reference(frames, times, **kw)
+        ours = run_ours(frames, times, **kw)
+        assert abs(ref.shape[0] - ours.shape[0]) < 0.2 * ref.shape[0]
+        ref_on = np.mean(ref[:, 3] > 0)
+        ours_on = np.mean(ours[:, 3] > 0)
+        assert abs(ref_on - ours_on) < 0.05
+
+
+class TestReferenceModelParity:
+    def test_unet_against_reference_module(self):
+        """Run the reference's own model.py UNet with our weights: outputs
+        must match our functional UNet exactly (proves checkpoint
+        compatibility against the real reference code, not a re-typed
+        architecture)."""
+        torch = pytest.importorskip("torch")
+        import v2ecore.model as ref_model
+
+        import jax
+        import jax.numpy as jnp
+
+        from v2e_tpu.models.unet import UNetSpec, init_unet, unet_apply
+
+        spec = UNetSpec(2, 4)
+        params = init_unet(jax.random.key(0), spec)
+
+        ref = ref_model.UNet(2, 4)
+        state = {}
+        for name, ci, co, k in spec.conv_specs:
+            state[f"{name}.weight"] = torch.tensor(np.asarray(params[name]["w"]))
+            state[f"{name}.bias"] = torch.tensor(np.asarray(params[name]["b"]))
+        ref.load_state_dict(state)
+
+        rng = np.random.default_rng(3)
+        x = rng.normal(size=(1, 2, 64, 96)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.tensor(x)).numpy()
+        got = np.asarray(unet_apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_backwarp_against_reference_module(self):
+        torch = pytest.importorskip("torch")
+        import warnings
+
+        import v2ecore.model as ref_model
+
+        import jax.numpy as jnp
+
+        from v2e_tpu.models.backwarp import backwarp
+
+        rng = np.random.default_rng(4)
+        N, C, H, W = 2, 1, 24, 32
+        img = rng.normal(size=(N, C, H, W)).astype(np.float32)
+        flow = (rng.normal(size=(N, 2, H, W)) * 4).astype(np.float32)
+        warper = ref_model.backWarp(W, H, "cpu")
+        with torch.no_grad(), warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            want = warper(torch.tensor(img), torch.tensor(flow)).numpy()
+        got = np.asarray(backwarp(jnp.asarray(img), jnp.asarray(flow)))
+        np.testing.assert_allclose(got, want, atol=1e-5)
