@@ -174,3 +174,39 @@ class TestStreamingReader:
         it = iter(stream)
         next(it)
         stream.close()  # must not hang
+
+
+class TestDDDTools:
+    def test_ddd_v2e_tool(self, ddd_file, tmp_path):
+        """End-to-end real-vs-synthetic comparison tool on a tiny recording."""
+        from dataset_tools.ddd_v2e import main
+
+        out = str(tmp_path / "out")
+        rc = main([
+            "-i", ddd_file, "-o", out, "--disable_slomo",
+            "--rotate180", "false", "--numpy_output",
+            "--cutoff_hz", "0", "--leak_rate_hz", "0",
+            "--shot_noise_rate_hz", "0", "--sigma_thres", "0",
+        ])
+        assert rc == 0
+        import os
+
+        for f in ("ddd-real.aedat", "ddd-v2e.aedat", "dvs-video-real.avi",
+                  "dvs-video-fake.avi", "events-real.npy", "events-v2e.npy"):
+            assert os.path.exists(os.path.join(out, f)), f
+        real = np.load(os.path.join(out, "events-real.npy"))
+        syn = np.load(os.path.join(out, "events-v2e.npy"))
+        assert real.shape[0] == 3
+        # 100->160 step at thres 0.2: 2 ON events/pixel
+        assert syn.shape[0] == 2 * H * W
+
+    def test_ddd_extract_tool(self, ddd_file, tmp_path):
+        from dataset_tools.ddd_extract_data import main
+
+        out = str(tmp_path / "out")
+        rc = main(["-i", ddd_file, "-o", out, "--rotate180", "false"])
+        assert rc == 0
+        import os
+
+        assert os.path.exists(os.path.join(out, "aps.avi"))
+        assert os.path.exists(os.path.join(out, "dvs.aedat"))

@@ -92,3 +92,24 @@ class TestMesh:
             state, metrics = step(state, batch)
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0]
+
+
+class TestShardedEmulatorFacade:
+    def test_event_emulator_with_mesh_matches(self, mesh):
+        """EventEmulator(mesh=...) produces the identical event stream."""
+        from v2e_tpu.emulator import EventEmulator
+
+        rng = np.random.default_rng(5)
+        frames = np.clip(
+            128 * np.exp(rng.normal(0, 0.25, (6, 32, 48))), 0, 255
+        ).astype(np.float32)
+        times = np.arange(6) * 0.01
+
+        kw = dict(sigma_thres=0.03, leak_rate_hz=1.0, shot_noise_rate_hz=2.0,
+                  cutoff_hz=50.0, seed=9,
+                  shuffle_events_within_iteration=False)
+        ev_plain = EventEmulator(**kw).generate_events_batch(frames, times)
+        ev_mesh = EventEmulator(mesh=mesh, **kw).generate_events_batch(
+            frames, times
+        )
+        np.testing.assert_allclose(ev_plain, ev_mesh, atol=1e-9)

@@ -110,7 +110,11 @@ class EventEmulator:
         label_signal_noise: bool = False,
         shuffle_events_within_iteration: bool = True,
         compaction_capacity_hint: Optional[int] = None,
+        mesh=None,
     ):
+        """`mesh`: optional jax.sharding.Mesh with a 'spatial' axis — the
+        pixel plane (image rows) shards across it and XLA inserts the tiny
+        per-frame collectives (see v2e_tpu/parallel/)."""
         if record_single_pixel_states is not None:
             if (
                 not isinstance(record_single_pixel_states, tuple)
@@ -168,6 +172,7 @@ class EventEmulator:
         self.num_events_on = 0
         self.num_events_off = 0
 
+        self.mesh = mesh
         seed_val = seed if seed != 0 else int.from_bytes(os.urandom(4), "little")
         self._key = jax.random.key(seed_val)
         self._pr_noise_pending = False
@@ -388,6 +393,12 @@ class EventEmulator:
         t_origin = self.t_origin
         rel_times = jnp.asarray(times[start:] - t_origin, dtype=jnp.float32)
 
+        if self.mesh is not None:
+            from v2e_tpu.parallel.mesh import shard_emulator_args
+
+            self.params, self.state, chunk, rel_times = shard_emulator_args(
+                self.mesh, self.params, self.state, chunk, rel_times
+            )
         self.state, outs, packed = emulate_and_compact(
             self.cfg, self.params, self.state, chunk, rel_times, self._capacity
         )
