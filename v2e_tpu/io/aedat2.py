@@ -100,25 +100,44 @@ class AEDat2Output:
         if self.file is None or len(events) == 0:
             return
         n = events.shape[0]
-        t = (1e6 * events[:, 0]).astype(np.int32)
-        if np.any(np.diff(t) < 0):
-            logger.warning("nonmonotonic timestamp in AEDAT-2 output")
-        x = events[:, 1].astype(np.int32)
-        if self.flipx:
-            x = (self.sizex - 1) - x
-        y = events[:, 2].astype(np.int32)
-        if self.flipy:
-            y = (self.sizey - 1) - y
-        p = ((events[:, 3] + 1) / 2).astype(np.int32)
 
-        a = x << self.xShiftBits | y << self.yShiftBits | p << self.polShiftBits
-        if self.label_signal_noise and signnoise_label is not None:
-            noise_mask = np.logical_not(signnoise_label.astype(bool))
-            a[noise_mask] |= self.NOISE_SPECIAL_EVENT_BIT
+        from v2e_tpu.native import get_lib
 
-        out = np.empty(2 * n, dtype=np.int32)
-        out[0::2] = a
-        out[1::2] = t
+        lib = get_lib()
+        if lib is not None and self.flipx and self.flipy:
+            ev = np.ascontiguousarray(events, dtype=np.float64)
+            mask_ptr = None
+            mask = None
+            if self.label_signal_noise and signnoise_label is not None:
+                mask = np.ascontiguousarray(signnoise_label, dtype=np.uint8)
+                mask_ptr = mask.ctypes.data
+            out = np.empty(2 * n, dtype=np.int32)
+            lib.pack_aedat2(
+                ev, n, self.sizex, self.sizey,
+                self.xShiftBits, self.yShiftBits, self.polShiftBits,
+                1, mask_ptr, out,
+            )
+            p = (events[:, 3] > 0).astype(np.int32)
+        else:
+            t = (1e6 * events[:, 0]).astype(np.int32)
+            if np.any(np.diff(t) < 0):
+                logger.warning("nonmonotonic timestamp in AEDAT-2 output")
+            x = events[:, 1].astype(np.int32)
+            if self.flipx:
+                x = (self.sizex - 1) - x
+            y = events[:, 2].astype(np.int32)
+            if self.flipy:
+                y = (self.sizey - 1) - y
+            p = ((events[:, 3] + 1) / 2).astype(np.int32)
+
+            a = x << self.xShiftBits | y << self.yShiftBits | p << self.polShiftBits
+            if self.label_signal_noise and signnoise_label is not None:
+                noise_mask = np.logical_not(signnoise_label.astype(bool))
+                a[noise_mask] |= self.NOISE_SPECIAL_EVENT_BIT
+
+            out = np.empty(2 * n, dtype=np.int32)
+            out[0::2] = a
+            out[1::2] = t
         data = out.byteswap().tobytes(order="C")  # jAER is Java big-endian
         if self.numEventsWritten == 0:
             # jAER would misparse a file whose first data byte is '#'
