@@ -56,6 +56,11 @@ class EmulatorConfig:
     # PRNG seed; 0 means draw fresh entropy
     seed: int = 0
 
+    # run the sequential core as the fused Pallas scan kernel when eligible
+    # (no refractory/SCIDVS/CSDVS; single device — Pallas calls don't SPMD-
+    # partition, so mesh-sharded runs disable this)
+    use_pallas_scan: bool = True
+
     # observability: record one pixel's internal states per frame (x, y)
     # (reference --record_single_pixel_states, emulator.py:279-302)
     probe: Optional[tuple] = None

@@ -547,6 +547,45 @@ def _emulate_chunk_fast(
         shot_on = shot_off = None
 
     # --- sequential core ---
+    if (
+        cfg.use_pallas_scan
+        and cfg.refractory_period_s <= 0
+        and not cfg.scidvs
+        and jax.default_backend() == "tpu"
+    ):
+        from v2e_tpu.ops.pallas.emulator_scan import emulator_scan_pallas
+
+        lp_eff = lp + pr_noise if cfg.photoreceptor_noise else lp
+        shot_any = (shot_on | shot_off) if cfg.simple_shot_noise else None
+        new_base, signed16 = emulator_scan_pallas(
+            lp_eff, leak_delta, shot_any,
+            params.pos_thres, params.neg_thres, state.base_log_frame,
+        )
+        signed_abs = jnp.abs(signed16.astype(jnp.int32))
+        K_arr = jnp.max(signed_abs, axis=(1, 2))
+        outs = {
+            "ev_count": signed16,
+            "i0": jnp.zeros_like(signed16),
+            "stride": jnp.ones((F,), jnp.int32),
+            "K": K_arr,
+        }
+        num_on = jnp.sum(jnp.maximum(signed16.astype(jnp.int32), 0), axis=(1, 2))
+        num_off = jnp.sum(jnp.maximum(-signed16.astype(jnp.int32), 0), axis=(1, 2))
+        if cfg.simple_shot_noise:
+            num_on = num_on + jnp.sum(shot_on, axis=(1, 2))
+            num_off = num_off + jnp.sum(shot_off, axis=(1, 2))
+            outs["shot_on"] = shot_on
+            outs["shot_off"] = shot_off
+        outs.update(t_prev=t_prevs, t_frame=times, num_on=num_on, num_off=num_off)
+        new_state = state.replace(
+            base_log_frame=new_base,
+            lp_log_frame=lp[-1],
+            photoreceptor_noise_arr=pr_last,
+            t_prev=times[-1],
+            step_idx=state.step_idx + F,
+        )
+        return new_state, outs
+
     def body(carry, inp):
         base, mem, hp, lp_prev = carry
         lp_f, pr_f, leak_f, s_on, s_off, dt, t, t_prev = inp

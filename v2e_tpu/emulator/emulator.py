@@ -152,6 +152,11 @@ class EventEmulator:
             probe=record_single_pixel_states,
             emit_states=emit_states,
         )
+        if mesh is not None:
+            import dataclasses
+
+            # Pallas kernels don't SPMD-partition over a mesh
+            self.cfg = dataclasses.replace(self.cfg, use_pallas_scan=False)
         self.cfg.validate()
 
         self.label_signal_noise = label_signal_noise

@@ -81,6 +81,10 @@ def emulate_chunk_sharded(
     times: jnp.ndarray,
 ):
     """Run the emulator chunk scan with the pixel plane sharded over the mesh."""
+    import dataclasses
+
+    # Pallas kernels don't SPMD-partition: use the XLA scan when sharded
+    cfg = dataclasses.replace(cfg, use_pallas_scan=False)
     params, state, frames, times = shard_emulator_args(
         mesh, params, state, frames, times
     )
