@@ -30,6 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 SUB = 8
 LANE = 256
 TILE = SUB * LANE
+# frames per kernel invocation: bounds the VMEM block stack (~3 MB/segment
+# with double buffering); longer chunks chain segments through the carried
+# base frame
+F_SEG = 128
 
 
 def _kernel(lp_ref, leak_ref, shot_ref, pos_th_ref, neg_th_ref, base_ref,
@@ -77,6 +81,19 @@ def emulator_scan_pallas(
     Returns (new_base f32[H,W], signed counts i16[F,H,W]).
     """
     F, H, W = lp.shape
+    if F > F_SEG:
+        # chain time segments through the carried base frame
+        counts_parts = []
+        for s in range(0, F, F_SEG):
+            base, counts_s = emulator_scan_pallas(
+                lp[s : s + F_SEG],
+                leak_delta[s : s + F_SEG] if leak_delta is not None else None,
+                shot_any[s : s + F_SEG] if shot_any is not None else None,
+                pos_thres, neg_thres, base, interpret,
+            )
+            counts_parts.append(counts_s)
+        return base, jnp.concatenate(counts_parts)
+
     npix = H * W
     n_tiles = -(-npix // TILE)
     pad = n_tiles * TILE - npix
