@@ -55,7 +55,7 @@ class TestMesh:
         state, tx = create_train_state(seed=0)
         state = replicate_state(mesh, state)
         rng = np.random.default_rng(0)
-        B, H, W = 4, 32, 64
+        B, H, W = 2, 32, 32
         batch = {
             "I0": jnp.asarray(rng.normal(size=(B, 1, H, W)).astype(np.float32)),
             "I1": jnp.asarray(rng.normal(size=(B, 1, H, W)).astype(np.float32)),
@@ -67,9 +67,6 @@ class TestMesh:
         state2, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"]))
         assert int(state2.step) == 1
-        # a second step decreases nothing structurally but must run
-        _, m2 = step(state2, batch)
-        assert np.isfinite(float(m2["loss"]))
 
     def test_training_loss_decreases(self):
         """Single-device sanity: adam on the Super-SloMo loss reduces it."""

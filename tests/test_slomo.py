@@ -192,16 +192,16 @@ class TestPipelineE2E:
 class TestHighUpsampling:
     def test_slice_generator_bounds_memory(self):
         """Colab-scale factors must be emitted in bounded pair slices."""
-        sm = SuperSloMo(model=None, auto_upsample=False, upsampling_factor=64,
-                        max_out_frames=128)
+        sm = SuperSloMo(model=None, auto_upsample=False, upsampling_factor=16,
+                        max_out_frames=32)
         frames = jnp.asarray(
             np.random.default_rng(0).uniform(0, 255, (5, 32, 64)).astype(np.float32)
         )
         U, slices = sm.interpolate_batch_slices(frames, 32, 64)
-        assert U == 64
+        assert U == 16
         outs = list(slices)
-        # 4 pairs x 64 frames with <=128 frames per slice -> 2 pairs/slice
-        assert [o.shape[0] for o, _ in outs] == [128, 128]
+        # 4 pairs x 16 frames with <=32 frames per slice -> 2 pairs/slice
+        assert [o.shape[0] for o, _ in outs] == [32, 32]
         assert [off for _, off in outs] == [0, 2]
         total = np.concatenate([np.asarray(o) for o, _ in outs])
         # equals the one-shot batch result

@@ -139,7 +139,7 @@ def bilinear_warp_pallas(
         kernel,
         grid=(N, Ht // BH, Wt // BW),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, BH, BW), lambda n, i, j: (n, i, j)),
             pl.BlockSpec((1, BH, BW), lambda n, i, j: (n, i, j)),
         ],

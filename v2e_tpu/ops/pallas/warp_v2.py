@@ -161,7 +161,7 @@ def bilinear_warp_tiled(
         num_scalar_prefetch=2,
         grid=(N, nty, ntx),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, BH, BW), lambda n, i, j, *_: (n, i, j)),
             pl.BlockSpec((1, BH, BW), lambda n, i, j, *_: (n, i, j)),
         ],
