@@ -218,3 +218,67 @@ class TestReferenceModelParity:
             want = warper(torch.tensor(img), torch.tensor(flow)).numpy()
         got = np.asarray(backwarp(jnp.asarray(img), jnp.asarray(flow)))
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestReferenceWriterParity:
+    def test_aedat2_bytes_match_reference_writer(self, tmp_path):
+        """Identical events through our writer and the reference's
+        AEDat2Output must produce byte-identical event payloads."""
+        from v2ecore.output.aedat2_output import AEDat2Output as RefWriter
+
+        from v2e_tpu.io.aedat2 import AEDat2Output as OurWriter
+
+        rng = np.random.default_rng(0)
+        n = 500
+        ev = np.empty((n, 4))
+        ev[:, 0] = np.sort(rng.uniform(0, 1, n))
+        ev[:, 1] = rng.integers(0, 346, n)
+        ev[:, 2] = rng.integers(0, 260, n)
+        ev[:, 3] = rng.choice([-1.0, 1.0], n)
+
+        ref_path = str(tmp_path / "ref.aedat")
+        our_path = str(tmp_path / "ours.aedat")
+        rw = RefWriter(ref_path, 346, 260)
+        rw.appendEvents(ev)
+        rw.close()
+        ow = OurWriter(our_path, 346, 260)
+        ow.appendEvents(ev)
+        ow.close()
+
+        def payload(p):
+            data = open(p, "rb").read()
+            pos = 0
+            while data[pos : pos + 1] == b"#":
+                pos = data.index(b"\n", pos) + 1
+            return data[pos:]
+
+        assert payload(ref_path) == payload(our_path)
+
+    def test_aedat2_noise_labeling_bytes_match(self, tmp_path):
+        from v2ecore.output.aedat2_output import AEDat2Output as RefWriter
+
+        from v2e_tpu.io.aedat2 import AEDat2Output as OurWriter
+
+        ev = np.array([
+            [0.001, 10, 20, 1],
+            [0.002, 100, 200, -1],
+            [0.003, 5, 7, 1],
+        ])
+        labels = np.array([True, False, True])
+        ref_path = str(tmp_path / "ref.aedat")
+        our_path = str(tmp_path / "ours.aedat")
+        rw = RefWriter(ref_path, 240, 180, label_signal_noise=True)
+        rw.appendEvents(ev, signnoise_label=labels)
+        rw.close()
+        ow = OurWriter(our_path, 240, 180, label_signal_noise=True)
+        ow.appendEvents(ev, signnoise_label=labels)
+        ow.close()
+
+        def payload(p):
+            data = open(p, "rb").read()
+            pos = 0
+            while data[pos : pos + 1] == b"#":
+                pos = data.index(b"\n", pos) + 1
+            return data[pos:]
+
+        assert payload(ref_path) == payload(our_path)
