@@ -210,3 +210,25 @@ class TestDDDTools:
 
         assert os.path.exists(os.path.join(out, "aps.avi"))
         assert os.path.exists(os.path.join(out, "dvs.aedat"))
+
+    def test_ddd_plot_tool(self, tmp_path):
+        from dataset_tools.ddd_plot_event_counts import main
+
+        rng = np.random.default_rng(0)
+        def mk(n):
+            ev = np.empty((n, 4))
+            ev[:, 0] = np.sort(rng.uniform(0, 1, n))
+            ev[:, 1] = rng.integers(0, 346, n)
+            ev[:, 2] = rng.integers(0, 260, n)
+            ev[:, 3] = rng.choice([-1, 1], n)
+            return ev
+        np.save(tmp_path / "real.npy", mk(500))
+        np.save(tmp_path / "v2e.npy", mk(480))
+        out = str(tmp_path / "counts.png")
+        rc = main(["--real", str(tmp_path / "real.npy"),
+                   "--v2e", str(tmp_path / "v2e.npy"),
+                   "--roi_x", "50", "300", "--roi_y", "50", "200",
+                   "-o", out])
+        assert rc == 0
+        import os
+        assert os.path.getsize(out) > 1000
