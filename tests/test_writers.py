@@ -167,3 +167,35 @@ class TestAEDat4:
             hdr = f.read(hdr_size)
             assert b"IOHE" == hdr[4:8]
             assert b"sizeX" in hdr
+
+
+class TestDDDOutputSemantics:
+    def test_frame_ts_and_idx_through_emulator(self, tmp_path):
+        """DDD output: frame_ts in us and frame_idx = cumulative events
+        including each frame's events (reference emulator.py:979-983)."""
+        import math
+
+        import h5py
+
+        from v2e_tpu.emulator import EventEmulator
+
+        em = EventEmulator(
+            sigma_thres=0.0, leak_rate_hz=0.0, cutoff_hz=0.0, seed=1,
+            output_folder=str(tmp_path), dvs_h5="ddd.h5",
+            output_width=8, output_height=8,
+            shuffle_events_within_iteration=False,
+        )
+        em.prepare_storage(None, None)
+        vals = [100, 100 * math.exp(0.25), 100 * math.exp(0.5), 100 * math.exp(0.5)]
+        frames = np.stack([np.full((8, 8), v, np.float32) for v in vals])
+        times = np.arange(4) * 0.01
+        em.generate_events_batch(frames, times)
+        em.cleanup()
+        with h5py.File(tmp_path / "ddd.h5", "r") as f:
+            np.testing.assert_array_equal(
+                f["frame_ts"][:], (times * 1e6).astype(np.uint32)
+            )
+            # per frame: init, 1 ON/px (0.25/0.2), 1 ON/px, 0
+            np.testing.assert_array_equal(f["frame_idx"][:], [0, 64, 128, 128])
+            assert f["events"].shape[0] == 128
+            assert f["frame"].shape == (4, 8, 8)

@@ -382,7 +382,10 @@ class EventEmulator:
             self.t_previous = float(times[0])
             self.frame_counter += 1
             if self.dvs_h5 is not None:
-                self.dvs_h5.appendFrame(np.asarray(frames[0]))
+                self.dvs_h5.appendFrame(
+                    np.asarray(frames[0]), ts=float(times[0]),
+                    ev_idx=self.dvs_h5.numEventsWritten,
+                )
             start = 1
             if start >= frames.shape[0]:
                 return None
@@ -500,8 +503,11 @@ class EventEmulator:
 
         # sinks
         if self.dvs_h5 is not None and handle["frames_for_h5"] is not None:
-            for fr in np.asarray(handle["frames_for_h5"]):
-                self.dvs_h5.appendFrame(fr)
+            base_idx = self.dvs_h5.numEventsWritten
+            for f, fr in enumerate(np.asarray(handle["frames_for_h5"])):
+                self.dvs_h5.appendFrame(
+                    fr, ts=float(times[f]), ev_idx=base_idx + int(offsets[f + 1])
+                )
             self.dvs_h5.appendEvents(events)
         if self.dvs_aedat2 is not None:
             self.dvs_aedat2.appendEvents(events, signnoise_label=labels)

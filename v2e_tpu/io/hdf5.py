@@ -68,7 +68,15 @@ class DVSH5Output:
             compression="gzip",
         )
 
-    def appendFrame(self, frame: np.ndarray, ts: Optional[float] = None) -> None:
+    def appendFrame(
+        self,
+        frame: np.ndarray,
+        ts: Optional[float] = None,
+        ev_idx: Optional[int] = None,
+    ) -> None:
+        """Append a frame; ``ev_idx`` is the cumulative event count INCLUDING
+        this frame's events (reference emulator.py:979-983 sets frame_idx to
+        the event dataset size after the frame's events are stored)."""
         if self.frame_dataset is None:
             self._frame_counter += 1
             return
@@ -80,7 +88,9 @@ class DVSH5Output:
         self.frame_dataset[k] = np.clip(frame, 0, 255).astype(np.uint8)
         if ts is not None:
             self.frame_ts_dataset[k] = np.uint32(ts * 1e6)
-        self.frame_ev_idx_dataset[k] = self.numEventsWritten
+        self.frame_ev_idx_dataset[k] = (
+            ev_idx if ev_idx is not None else self.numEventsWritten
+        )
         self._frame_counter += 1
 
     def appendEvents(
