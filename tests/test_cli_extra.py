@@ -94,3 +94,32 @@ class TestCrop:
         ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")
         assert ev[:, 1].max() < 64 - 16
         assert ev[:, 2].max() < 48 - 8
+
+
+class TestImageFolderInput:
+    def test_folder_of_images(self, tmp_path):
+        import cv2
+
+        folder = tmp_path / "frames"
+        folder.mkdir()
+        for i in range(8):
+            fr = np.full((48, 64), 70, np.uint8)
+            fr[:, 5 * i : 5 * i + 8] = 190
+            cv2.imwrite(str(folder / f"{i:04d}.png"), fr)
+
+        rc = run(tmp_path, [
+            "-i", str(folder), "--disable_slomo",
+            "--input_frame_rate", "30",
+        ])
+        assert rc == 0
+        ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")
+        assert ev.shape[0] > 0
+
+    def test_folder_without_rate_fails(self, tmp_path):
+        import cv2
+
+        folder = tmp_path / "frames2"
+        folder.mkdir()
+        cv2.imwrite(str(folder / "0.png"), np.zeros((8, 8), np.uint8))
+        with pytest.raises(ValueError):
+            run(tmp_path, ["-i", str(folder), "--disable_slomo"])
