@@ -123,3 +123,28 @@ class TestImageFolderInput:
         cv2.imwrite(str(folder / "0.png"), np.zeros((8, 8), np.uint8))
         with pytest.raises(ValueError):
             run(tmp_path, ["-i", str(folder), "--disable_slomo"])
+
+
+class TestSignalNoiseLabeling:
+    def test_label_column_through_cli(self, tmp_path):
+        rc = main([
+            "--output_folder", str(tmp_path / "out"),
+            "--unique_output_folder", "false", "--overwrite",
+            "--skip_video_output", "--no_shuffle",
+            "--dvs_text", "ev.txt",
+            "--synthetic_input", "v2e_tpu.synthetic.moving_dot",
+            "--disable_slomo",
+            "--output_width", "64", "--output_height", "48",
+            "--cycles", "0.02", "--radius", "15",
+            "--sigma_thres", "0", "--cutoff_hz", "0",
+            "--leak_rate_hz", "0", "--shot_noise_rate_hz", "50",
+            "--refractory_period", "0",
+            "--label_signal_noise",
+        ])
+        assert rc == 0
+        ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")
+        assert ev.shape[1] == 5  # extra signal/noise column
+        labels = ev[:, 4]
+        assert set(np.unique(labels)) <= {0.0, 1.0}
+        assert (labels == 0).any()  # shot noise present and labeled
+        assert (labels == 1).any()  # dot signal present
