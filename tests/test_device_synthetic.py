@@ -44,3 +44,13 @@ class TestDeviceGenerators:
                            seed=3)
         ev = em.generate_events_batch(frames, ts)  # jnp frames: no H2D
         assert ev is not None and ev.shape[0] > 0
+
+    def test_barberpole_parity(self):
+        from v2e_tpu.synthetic.barberpole import barberpole
+        from v2e_tpu.synthetic.device import barberpole_frames
+
+        syn = barberpole(width=96, height=64, preview=False,
+                         arg_list=["--total_time", "0.002"])
+        host, ts = collect(syn)
+        dev = np.asarray(barberpole_frames(jnp.asarray(ts), 96, 64))
+        np.testing.assert_array_equal(host.astype(np.float32), dev)

@@ -75,6 +75,41 @@ def moving_dot_frames(
     return jnp.floor(jnp.clip(frames, 0, 255))
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
+def barberpole_frames(
+    times: jnp.ndarray,
+    width: int = 346,
+    height: int = 260,
+    contrast: float = 1.5,
+    speed_pps: float = 1000.0,
+    num_stripes: int = 6,
+    bb_width: float = 0.8,
+    bb_height: float = 0.2,
+    bb_angle: float = 30.0,
+    bg: float = 127.0,
+) -> jnp.ndarray:
+    """Device version of the barberpole stimulus (drifting diagonal stripes
+    masked to a central window)."""
+    F = times.shape[0]
+    wavelength = (bb_width * width) / num_stripes
+    low = (bg * 2) / (contrast + 1)
+    diff = (contrast - 1) * low
+    tan = math.tan((90 - bb_angle) * math.pi / 180)
+
+    yy = jnp.arange(height, dtype=jnp.float32)[None, :, None]
+    xx = jnp.arange(width, dtype=jnp.float32)[None, None, :]
+    t = times.astype(jnp.float32)[:, None, None]
+    phase = 2 * math.pi * (yy - tan * xx - t * speed_pps) / wavelength
+    stripes = jnp.floor(low + diff * 0.5 * (1 + jnp.tanh(10 * jnp.sin(phase))))
+
+    dx = (1 - bb_width) / 2
+    dy = (1 - bb_height) / 2
+    minx, maxx = round(width * dx), width - round(width * dx)
+    miny, maxy = round(height * dy), height - round(height * dy)
+    inside = (xx > minx) & (xx < maxx) & (yy > miny) & (yy < maxy)
+    return jnp.where(inside, stripes, bg)
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6))
 def gradients_frames(
     times: jnp.ndarray,
