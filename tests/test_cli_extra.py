@@ -148,3 +148,42 @@ class TestSignalNoiseLabeling:
         assert set(np.unique(labels)) <= {0.0, 1.0}
         assert (labels == 0).any()  # shot noise present and labeled
         assert (labels == 1).any()  # dot signal present
+
+
+class TestExposureModesCLI:
+    def test_count_exposure(self, tmp_path, small_video):
+        rc = main([
+            "--output_folder", str(tmp_path / "out"),
+            "--unique_output_folder", "false", "--overwrite",
+            "-i", small_video, "--disable_slomo", "--no_shuffle",
+            "--dvs_params", "clean",
+            "--dvs_exposure", "count", "500",
+            "--dvs_vid", "dvs.avi",
+        ])
+        assert rc == 0
+        times = np.loadtxt(tmp_path / "out" / "dvs-frame_times.txt", comments="#")
+        assert times.shape[0] > 1  # multiple count-mode frames written
+
+    def test_area_count_exposure(self, tmp_path, small_video):
+        rc = main([
+            "--output_folder", str(tmp_path / "out"),
+            "--unique_output_folder", "false", "--overwrite",
+            "-i", small_video, "--disable_slomo", "--no_shuffle",
+            "--dvs_params", "clean",
+            "--dvs_exposure", "area_count", "50", "16",
+            "--dvs_vid", "dvs.avi",
+        ])
+        assert rc == 0
+        assert (tmp_path / "out" / "dvs.avi").exists()
+
+    def test_source_exposure(self, tmp_path, small_video):
+        rc = main([
+            "--output_folder", str(tmp_path / "out"),
+            "--unique_output_folder", "false", "--overwrite",
+            "-i", small_video, "--disable_slomo", "--no_shuffle",
+            "--dvs_params", "clean",
+            "--dvs_exposure", "source",
+            "--dvs_vid", "dvs.avi",
+        ])
+        assert rc == 0
+        assert (tmp_path / "out" / "dvs.avi").exists()
