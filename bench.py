@@ -45,12 +45,15 @@ def main() -> int:
     from v2e_tpu.models.pipeline import run_interpolated_pipeline  # noqa: F401
     from v2e_tpu.models.slomo import SuperSloMo
 
+    import os
+
     H, W = 260, 346
     SRC_FPS = 30.0
     U = 10  # 10x slowdown
     B = 16  # pairs per chunk
-    N_WARM = 5  # covers compile + compaction-capacity adaptation
-    N_MEAS = 10
+    # env knobs for constrained runners
+    N_WARM = int(os.environ.get("V2E_BENCH_WARM", 5))
+    N_MEAS = int(os.environ.get("V2E_BENCH_MEAS", 10))
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
