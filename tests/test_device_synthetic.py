@@ -54,3 +54,35 @@ class TestDeviceGenerators:
         host, ts = collect(syn)
         dev = np.asarray(barberpole_frames(jnp.asarray(ts), 96, 64))
         np.testing.assert_array_equal(host.astype(np.float32), dev)
+
+    def test_spots_parity(self):
+        from v2e_tpu.synthetic.device import spots_frames
+        from v2e_tpu.synthetic.spots import spots
+
+        syn = spots(width=96, height=64, preview=False,
+                    arg_list=["--total_time", "0.004"])
+        host, ts = collect(syn)
+        dev = np.asarray(
+            spots_frames(jnp.asarray(ts), 96, 64, 1.5, 0.004, 20.0, 60.0)
+        )
+        np.testing.assert_array_equal(host.astype(np.float32), dev)
+
+    def test_single_dot_parity(self):
+        from v2e_tpu.synthetic.device import single_linearly_moving_dot_frames
+        from v2e_tpu.synthetic.single_linearly_moving_dot import (
+            single_linearly_moving_dot,
+        )
+
+        syn = single_linearly_moving_dot(width=96, height=64, preview=False)
+        host, ts = [], []
+        for _ in range(50):
+            fr, t = syn.next_frame()
+            if fr is None:
+                break
+            host.append(fr)
+            ts.append(t)
+        host = np.stack(host)
+        dev = np.asarray(
+            single_linearly_moving_dot_frames(jnp.asarray(np.array(ts)), 96, 64)
+        )
+        np.testing.assert_array_equal(host.astype(np.float32), dev)

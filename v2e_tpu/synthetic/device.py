@@ -75,6 +75,102 @@ def moving_dot_frames(
     return jnp.floor(jnp.clip(frames, 0, 255))
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def single_linearly_moving_dot_frames(
+    times: jnp.ndarray,
+    width: int = 346,
+    height: int = 260,
+    contrast: float = 3.0,
+    bg: float = 100.0,
+    dot_sigma: float = 3.0,
+    speed_pps: float = 100.0,
+    gain: float = 10.0,
+) -> jnp.ndarray:
+    """Device version of the single linearly moving dot stimulus."""
+    F = times.shape[0]
+    fg = float(int(bg * contrast))
+    d = int(dot_sigma * 3)
+    xx = jnp.arange(width, dtype=jnp.float32)[None, None, :]
+    yy = jnp.arange(height, dtype=jnp.float32)[None, :, None]
+    t = times.astype(jnp.float32)[:, None, None]
+    cx = t * speed_pps
+    cy = jnp.full_like(cx, height / 2)
+    dx = xx - cx
+    dy = yy - cy
+    v = jnp.minimum(gain * jnp.exp(-(dx * dx + dy * dy) / (dot_sigma**2)), 1.0)
+    v = jnp.where(v < 0.01, 0.0, v)
+    in_patch = (jnp.abs(xx - jnp.round(cx)) <= d) & (
+        jnp.abs(yy - jnp.round(cy)) <= d
+    )
+    v = jnp.where(in_patch, v, 0.0)
+    frames = bg + (fg - bg) * v
+    return jnp.floor(jnp.clip(frames, 0, 255))
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def spots_frames(
+    times: jnp.ndarray,
+    width: int = 346,
+    height: int = 260,
+    contrast: float = 1.5,
+    total_time: float = 1.0,
+    freq_hz: float = 20.0,
+    radius: float = 60.0,
+    bg: float = 64.0,
+) -> jnp.ndarray:
+    """Device version of the spots stimulus (flashing then moving shapes)."""
+    F = times.shape[0]
+    gray = bg
+    bright = gray * contrast
+    dark = gray / contrast
+    half = total_time / 2
+    t = times.astype(jnp.float32)[:, None, None]
+    xx = jnp.arange(width, dtype=jnp.float32)[None, None, :]
+    yy = jnp.arange(height, dtype=jnp.float32)[None, :, None]
+
+    moving = t[:, 0, 0] > half
+    speed = radius / half
+    dxs = jnp.where(moving, -radius + (t[:, 0, 0] - half) * speed, 0.0)[
+        :, None, None
+    ]
+    sine = jnp.sin(t * freq_hz * jnp.pi * 2)
+    flash_color = jnp.where(
+        jnp.abs(sine) < 0.5, gray, jnp.where(sine > 0.5, bright, dark)
+    )
+    color = jnp.where(moving[:, None, None], dark, flash_color)
+
+    # host geometry truncates float64 coordinates with python int();
+    # in f32 exact values like 63.0 can land at 62.999996, so nudge before
+    # truncating (coordinates here are rational with >=1e-3 spacing)
+    def itrunc(x):
+        return jnp.trunc(x + jnp.sign(x) * 1e-3)
+
+    def disk(cx, cy, r):
+        dx = xx - itrunc(cx)
+        dy = yy - itrunc(cy)
+        return dx * dx + dy * dy <= r * r
+
+    def rect(cx, cy, r):
+        return (
+            (xx >= itrunc(cx - r))
+            & (xx <= itrunc(cx + r))
+            & (yy >= itrunc(cy - r))
+            & (yy <= itrunc(cy + r))
+        )
+
+    w, h, r = width, height, radius
+    cx1 = w / 4 + dxs
+    cx2 = 3 * w / 4 + dxs
+    mask = (
+        disk(cx1, jnp.full_like(cx1, h / 4), r / 8)
+        | rect(cx2, jnp.full_like(cx2, h / 4), r / 4)
+        | disk(cx1, jnp.full_like(cx1, 3 * h / 4), r / 2)
+        | rect(cx2, jnp.full_like(cx2, 3 * h / 4), r)
+    )
+    frames = jnp.where(mask, color, gray)
+    return jnp.floor(jnp.clip(frames, 0, 255))
+
+
 @functools.partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
 def barberpole_frames(
     times: jnp.ndarray,
