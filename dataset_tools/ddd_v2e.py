@@ -111,6 +111,7 @@ def main(argv=None) -> int:
         slomo = SuperSloMo(
             model=args.slomo_model, auto_upsample=False, upsampling_factor=U,
             batch_size=args.batch_size,
+            allow_random=getattr(args, "allow_random_slomo", False),
         )
         B = args.batch_size
         for s in range(0, len(aps) - 1, B):

@@ -220,6 +220,254 @@ class TestReferenceModelParity:
         np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def _build_ref_unet(torch, ref_model, spec, params):
+    """Instantiate the reference's torch UNet with our JAX params."""
+    net = ref_model.UNet(spec.in_channels, spec.out_channels)
+    state = {}
+    for name, ci, co, k in spec.conv_specs:
+        state[f"{name}.weight"] = torch.tensor(np.asarray(params[name]["w"]))
+        state[f"{name}.bias"] = torch.tensor(np.asarray(params[name]["b"]))
+    net.load_state_dict(state)
+    net.eval()
+    for p in net.parameters():
+        p.requires_grad = False
+    return net
+
+
+class TestFullChainParity:
+    """The COMPOSED interpolation chain vs the reference's own torch code.
+
+    Module-level parity (UNet, backWarp) is covered above; this runs the
+    reference's full per-t arithmetic (slomo.py:404-433: flow-coeff mixing,
+    refinement-UNet input stacking, visibility blend, t=(i+0.5)/U grid)
+    side-by-side with ``interpolate_pairs`` using identical random weights.
+    """
+
+    def test_interpolate_pairs_matches_reference_chain(self):
+        torch = pytest.importorskip("torch")
+        import v2ecore.model as ref_model
+
+        import jax.numpy as jnp
+
+        from v2e_tpu.models.convert_ckpt import (
+            FLOW_SPEC,
+            INTERP_SPEC,
+            init_random_slomo_params,
+        )
+        from v2e_tpu.models.slomo import interpolate_pairs
+
+        flow_p, interp_p = init_random_slomo_params(7)
+        flow_net = _build_ref_unet(torch, ref_model, FLOW_SPEC, flow_p)
+        interp_net = _build_ref_unet(torch, ref_model, INTERP_SPEC, interp_p)
+
+        B, H, W, U = 2, 64, 96, 4
+        warper = ref_model.backWarp(W, H, "cpu")
+        rng = np.random.default_rng(11)
+        I0 = rng.uniform(-0.428, 0.572, (B, 1, H, W)).astype(np.float32)
+        I1 = np.clip(
+            I0 + rng.normal(0, 0.05, I0.shape), -0.428, 0.572
+        ).astype(np.float32)
+
+        # ---- reference chain (slomo.py:404-433) ----
+        tI0, tI1 = torch.tensor(I0), torch.tensor(I1)
+        import warnings
+
+        with torch.no_grad(), warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            flowOut = flow_net(torch.cat((tI0, tI1), dim=1))
+            F_0_1, F_1_0 = flowOut[:, :2], flowOut[:, 2:]
+            want = []
+            for i in range(U):
+                t = (i + 0.5) / U
+                temp = -t * (1 - t)
+                F_t_0 = temp * F_0_1 + (t * t) * F_1_0
+                F_t_1 = ((1 - t) * (1 - t)) * F_0_1 + temp * F_1_0
+                g0 = warper(tI0, F_t_0)
+                g1 = warper(tI1, F_t_1)
+                intrp = interp_net(
+                    torch.cat(
+                        (tI0, tI1, F_0_1, F_1_0, F_t_1, F_t_0, g1, g0), dim=1
+                    )
+                )
+                F_t_0_f = intrp[:, :2] + F_t_0
+                F_t_1_f = intrp[:, 2:4] + F_t_1
+                V0 = torch.sigmoid(intrp[:, 4:5])
+                V1 = 1 - V0
+                g0f = warper(tI0, F_t_0_f)
+                g1f = warper(tI1, F_t_1_f)
+                Ft_p = ((1 - t) * V0 * g0f + t * V1 * g1f) / (
+                    (1 - t) * V0 + t * V1
+                )
+                want.append(Ft_p.numpy())
+        want = np.stack(want, axis=1)  # [B,U,1,H,W]
+
+        # ---- ours, float32 compute to compare numerics ----
+        got = np.asarray(
+            interpolate_pairs(
+                flow_p, interp_p, jnp.asarray(I0), jnp.asarray(I1), U,
+                96, jnp.float32, False, 32,
+            )
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+    def test_interpolate_pairs_grouped_matches_reference_chain(self):
+        """Same comparison with a max_group forcing the lax.scan grouped
+        path (n_groups > 1)."""
+        torch = pytest.importorskip("torch")
+        import v2ecore.model as ref_model
+
+        import jax.numpy as jnp
+
+        from v2e_tpu.models.convert_ckpt import (
+            FLOW_SPEC,
+            INTERP_SPEC,
+            init_random_slomo_params,
+        )
+        from v2e_tpu.models.slomo import interpolate_pairs
+
+        flow_p, interp_p = init_random_slomo_params(8)
+        flow_net = _build_ref_unet(torch, ref_model, FLOW_SPEC, flow_p)
+        interp_net = _build_ref_unet(torch, ref_model, INTERP_SPEC, interp_p)
+
+        B, H, W, U = 1, 32, 32, 6
+        warper = ref_model.backWarp(W, H, "cpu")
+        rng = np.random.default_rng(12)
+        I0 = rng.uniform(-0.4, 0.5, (B, 1, H, W)).astype(np.float32)
+        I1 = np.clip(I0 + rng.normal(0, 0.1, I0.shape), -0.4, 0.5).astype(
+            np.float32
+        )
+
+        tI0, tI1 = torch.tensor(I0), torch.tensor(I1)
+        import warnings
+
+        with torch.no_grad(), warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            flowOut = flow_net(torch.cat((tI0, tI1), dim=1))
+            F_0_1, F_1_0 = flowOut[:, :2], flowOut[:, 2:]
+            want = []
+            for i in range(U):
+                t = (i + 0.5) / U
+                temp = -t * (1 - t)
+                F_t_0 = temp * F_0_1 + (t * t) * F_1_0
+                F_t_1 = ((1 - t) * (1 - t)) * F_0_1 + temp * F_1_0
+                g0, g1 = warper(tI0, F_t_0), warper(tI1, F_t_1)
+                intrp = interp_net(
+                    torch.cat(
+                        (tI0, tI1, F_0_1, F_1_0, F_t_1, F_t_0, g1, g0), dim=1
+                    )
+                )
+                V0 = torch.sigmoid(intrp[:, 4:5])
+                g0f = warper(tI0, intrp[:, :2] + F_t_0)
+                g1f = warper(tI1, intrp[:, 2:4] + F_t_1)
+                Ft_p = ((1 - t) * V0 * g0f + t * (1 - V0) * g1f) / (
+                    (1 - t) * V0 + t * (1 - V0)
+                )
+                want.append(Ft_p.numpy())
+        want = np.stack(want, axis=1)
+
+        # max_group=2 with B=1, U=6 -> 3 scan groups of g=2
+        got = np.asarray(
+            interpolate_pairs(
+                flow_p, interp_p, jnp.asarray(I0), jnp.asarray(I1), U,
+                2, jnp.float32, False, 32,
+            )
+        )
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+
+
+class TestCheckpointConversion:
+    """convert_ckpt on a synthetic torch checkpoint with the exact
+    state_dictFC/state_dictAT key structure (reference slomo.py:225-227)."""
+
+    def test_convert_and_load_roundtrip(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import v2ecore.model as ref_model
+
+        from v2e_tpu.models.convert_ckpt import (
+            FLOW_SPEC,
+            INTERP_SPEC,
+            convert_torch_checkpoint,
+            load_slomo_params,
+        )
+
+        torch.manual_seed(0)
+        flow_net = ref_model.UNet(2, 4)
+        interp_net = ref_model.UNet(12, 5)
+        ckpt = {
+            "state_dictFC": flow_net.state_dict(),
+            "state_dictAT": interp_net.state_dict(),
+            "epoch": 39,  # extra keys like the real ckpt must be ignored
+        }
+        ckpt_path = str(tmp_path / "SuperSloMo39.ckpt")
+        torch.save(ckpt, ckpt_path)
+
+        npz_path = str(tmp_path / "SuperSloMo39.npz")
+        convert_torch_checkpoint(ckpt_path, npz_path)
+
+        for path in (ckpt_path, npz_path):
+            flow_p, interp_p = load_slomo_params(path)
+            for spec, params, net in (
+                (FLOW_SPEC, flow_p, flow_net),
+                (INTERP_SPEC, interp_p, interp_net),
+            ):
+                state = net.state_dict()
+                for name, ci, co, k in spec.conv_specs:
+                    np.testing.assert_array_equal(
+                        np.asarray(params[name]["w"]),
+                        state[f"{name}.weight"].numpy(),
+                    )
+                    np.testing.assert_array_equal(
+                        np.asarray(params[name]["b"]),
+                        state[f"{name}.bias"].numpy(),
+                    )
+
+    def test_converted_params_drive_identical_unet(self, tmp_path):
+        """Converted weights must produce the same output as the torch net
+        they came from (end-to-end: save -> convert -> load -> apply)."""
+        torch = pytest.importorskip("torch")
+        import v2ecore.model as ref_model
+
+        import jax.numpy as jnp
+
+        from v2e_tpu.models.convert_ckpt import load_slomo_params
+        from v2e_tpu.models.unet import unet_apply
+
+        torch.manual_seed(1)
+        flow_net = ref_model.UNet(2, 4)
+        interp_net = ref_model.UNet(12, 5)
+        ckpt_path = str(tmp_path / "ck.ckpt")
+        torch.save(
+            {
+                "state_dictFC": flow_net.state_dict(),
+                "state_dictAT": interp_net.state_dict(),
+            },
+            ckpt_path,
+        )
+        flow_p, _ = load_slomo_params(ckpt_path)
+        rng = np.random.default_rng(2)
+        x = rng.normal(size=(1, 2, 32, 32)).astype(np.float32)
+        with torch.no_grad():
+            want = flow_net(torch.tensor(x)).numpy()
+        got = np.asarray(unet_apply(flow_p, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=2e-4)
+
+    def test_missing_checkpoint_fails_loudly(self, tmp_path):
+        """A nonexistent checkpoint must raise (reference slomo.py:201-204)
+        unless random weights are explicitly allowed."""
+        from v2e_tpu.models.slomo import SuperSloMo
+
+        missing = str(tmp_path / "nope.ckpt")
+        with pytest.raises(FileNotFoundError):
+            SuperSloMo(model=missing, auto_upsample=False, upsampling_factor=2)
+        # explicit opt-ins still work
+        SuperSloMo(
+            model=missing, auto_upsample=False, upsampling_factor=2,
+            allow_random=True,
+        )
+        SuperSloMo(model=None, auto_upsample=False, upsampling_factor=2)
+
+
 class TestReferenceWriterParity:
     def test_aedat2_bytes_match_reference_writer(self, tmp_path):
         """Identical events through our writer and the reference's

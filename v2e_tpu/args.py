@@ -141,6 +141,12 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                                  "SuperSloMo39.ckpt"),
                              help="path of the SuperSloMo checkpoint "
                                   "(.ckpt torch or .npz converted)")
+    slomo_group.add_argument("--allow_random_slomo", action="store_true",
+                             help="proceed with RANDOM SuperSloMo weights when "
+                                  "the checkpoint is missing (benchmarking "
+                                  "only; interpolated frames are meaningless). "
+                                  "Without this flag a missing --slomo_model "
+                                  "is an error, like the reference")
     slomo_group.add_argument("--batch_size", type=int, default=8,
                              help="SloMo batch size in frame pairs")
     slomo_group.add_argument("--vid_orig", type=none_or_str, default="video_orig.avi",

@@ -19,6 +19,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from v2e_tpu.emulator.config import EmulatorConfig
 from v2e_tpu.emulator.state import EmulatorParams, EmulatorState
@@ -38,8 +39,12 @@ CS_MAX_CHANGE = 1e-5
 CS_NUM_STEPS_PER_TAU = 5
 CS_MAX_STEPS = 1000  # hard bound for lax.while_loop (reference warns >1000)
 
-_LAPLACIAN = jnp.array(
-    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], dtype=jnp.float32
+# numpy, not jnp: a module-level jnp.array would initialize the JAX backend
+# at import time, locking in the platform before callers (e.g. the
+# multi-chip dryrun) can force CPU. jnp ops accept it and trace it as a
+# constant either way.
+_LAPLACIAN = np.array(
+    [[0.0, 1.0, 0.0], [1.0, -4.0, 1.0], [0.0, 1.0, 0.0]], dtype=np.float32
 )
 
 

@@ -86,3 +86,23 @@ def init_random_slomo_params(seed: int = 0) -> Tuple[Params, Params]:
     """Random-initialized model (for benchmarks/tests without the ckpt)."""
     k1, k2 = jax.random.split(jax.random.key(seed))
     return init_unet(k1, FLOW_SPEC), init_unet(k2, INTERP_SPEC)
+
+
+def main(argv=None) -> int:
+    """python -m v2e_tpu.models.convert_ckpt SuperSloMo39.ckpt [out.npz]"""
+    import argparse
+
+    p = argparse.ArgumentParser(description=convert_torch_checkpoint.__doc__)
+    p.add_argument("ckpt", help="torch SuperSloMo .ckpt path")
+    p.add_argument("out", nargs="?", default=None, help="output .npz path")
+    a = p.parse_args(argv)
+    out = a.out or os.path.splitext(a.ckpt)[0] + ".npz"
+    convert_torch_checkpoint(a.ckpt, out)
+    # verify the converted file round-trips into valid param shapes
+    load_slomo_params(out)
+    print(f"converted {a.ckpt} -> {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

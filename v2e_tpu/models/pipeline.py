@@ -43,6 +43,7 @@ def run_interpolated_pipeline(
         auto_upsample=auto_upsample,
         upsampling_factor=upsampling_factor,
         batch_size=args.batch_size,
+        allow_random=getattr(args, "allow_random_slomo", False),
     )
 
     write_video = not args.skip_video_output

@@ -241,6 +241,7 @@ class SuperSloMo:
         use_pallas_warp: Optional[bool] = None,
         warp_max_disp: int = 32,
         max_out_frames: int = 4096,
+        allow_random: bool = False,
     ):
         if not auto_upsample and (
             not isinstance(upsampling_factor, int) or upsampling_factor < 2
@@ -258,6 +259,7 @@ class SuperSloMo:
         self.avi_frame_rate = avi_frame_rate
         self.upsampling_sum = 0
         self.upsampling_samples = 0
+        self.last_upsampling_factor: Optional[int] = None
         self.compute_dtype = jnp.dtype(compute_dtype)
         self.max_group = max_group
         if use_pallas_warp is None:
@@ -272,6 +274,17 @@ class SuperSloMo:
         if model is not None and os.path.isfile(model):
             self.flow_params, self.interp_params = load_slomo_params(model)
             logger.info(f"loaded SuperSloMo weights from {model}")
+        elif model is not None and not allow_random:
+            # fail loudly like the reference (slomo.py:201-204): silently
+            # interpolating with random weights produces physically
+            # meaningless frames
+            raise FileNotFoundError(
+                f"SuperSloMo model checkpoint {model} does not exist or is "
+                "not readable. Convert the reference SuperSloMo39.ckpt with "
+                "python -m v2e_tpu.models.convert_ckpt <ckpt> <out.npz>, or "
+                "pass --allow_random_slomo to proceed with random weights "
+                "(benchmarking only)."
+            )
         else:
             if model is not None:
                 logger.warning(
@@ -294,6 +307,7 @@ class SuperSloMo:
                 u = self.upsampling_factor
             u = bucket_upsampling_factor(max(u, 2))
         u = max(u, 2)
+        self.last_upsampling_factor = u
         self.upsampling_sum += u
         self.upsampling_samples += 1
         return u
@@ -410,8 +424,12 @@ class SuperSloMo:
 
     def get_interpolated_timestamps(self, ts: np.ndarray) -> np.ndarray:
         """Interpolate real timestamps U-fold with the half-sample offset
-        (reference slomo.py:540-564)."""
-        U = self.upsampling_factor or 2
+        (reference slomo.py:540-564).
+
+        In auto-upsample mode the factor chosen for the most recent batch is
+        used (the reference leaves this as a TODO, slomo.py:559: it reads
+        ``self.upsampling_factor`` which is None/stale in auto mode)."""
+        U = getattr(self, "last_upsampling_factor", None) or self.upsampling_factor or 2
         out = []
         for i in range(ts.shape[0] - 1):
             start, end = ts[i], ts[i + 1]

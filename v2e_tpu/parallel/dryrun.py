@@ -1,0 +1,126 @@
+"""Multi-chip dry run: full sharded training step + sharded emulator scan.
+
+This module owns the actual dry-run body so it can be executed two ways:
+
+  * in-process (``run(n)``) when the caller has already arranged an
+    n-device backend (e.g. ``__graft_entry__.dryrun_multichip`` forcing the
+    CPU platform before JAX initializes), and
+  * as a subprocess (``python -m v2e_tpu.parallel.dryrun N``) when the
+    parent process's JAX backend is already initialized with the wrong
+    platform or device count — platform choice is process-global in JAX,
+    so a fresh interpreter is the only reliable reset.
+
+The dry run exercises the same shardings used at scale: dp (batch) x sp
+(image rows) for the SuperSloMo train step, and pixel-row sharding for the
+emulator scan (see parallel/mesh.py).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+
+def _force_cpu_platform(n_devices: int) -> None:
+    """Point JAX at n_devices virtual CPU devices. Must run before the JAX
+    backend initializes (i.e. before any jax.devices()/jit call).
+
+    XLA_FLAGS must be in the environment before ``import jax`` (snapshotted
+    at import); the platform choice additionally needs a config.update
+    because site hooks may pin JAX_PLATFORMS to a TPU plugin.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n_devices}"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def run(n_devices: int) -> None:
+    """Compile+run the full sharded training step and the sharded emulator
+    scan on an n-device mesh (dp over batch, sp over image rows).
+
+    Requires an already-usable backend with >= n_devices devices.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from v2e_tpu.emulator.config import EmulatorConfig
+    from v2e_tpu.emulator.state import init_state
+    from v2e_tpu.models.train import (
+        create_train_state,
+        make_train_step,
+        replicate_state,
+        shard_batch,
+    )
+    from v2e_tpu.parallel.mesh import emulate_chunk_sharded, make_mesh
+
+    mesh = make_mesh(n_devices)
+    d, s = mesh.devices.shape
+
+    # ---- full SuperSloMo training step: dp (batch) x sp (rows) ----
+    # tiny shapes: H must be a multiple of 32 (UNet depth) and of the
+    # spatial axis size; W of 32
+    B = 2 * d
+    H, W = 64, 64
+    assert H % 32 == 0 and H % s == 0
+    state, tx = create_train_state(seed=0, learning_rate=1e-4)
+    state = replicate_state(mesh, state)
+    rng = np.random.default_rng(0)
+    batch = {
+        "I0": jnp.asarray(rng.normal(size=(B, 1, H, W)).astype(np.float32)),
+        "I1": jnp.asarray(rng.normal(size=(B, 1, H, W)).astype(np.float32)),
+        "It": jnp.asarray(rng.normal(size=(B, 1, H, W)).astype(np.float32)),
+        "t": jnp.asarray(rng.uniform(0.1, 0.9, (B,)).astype(np.float32)),
+    }
+    batch = shard_batch(mesh, batch)
+    train_step = make_train_step(tx)
+    state, metrics = train_step(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    assert np.isfinite(float(metrics["loss"]))
+
+    # ---- sharded emulator scan: pixel rows over 'spatial' ----
+    cfg = EmulatorConfig(sigma_thres=0.03, leak_rate_hz=0.1, shot_noise_rate_hz=1.0)
+    F, EH, EW = 4, 16 * s, 32
+    frames = jnp.asarray(rng.uniform(0, 255, (F, EH, EW)).astype(np.float32))
+    emu_params, emu_state = init_state(
+        cfg, frames[0], jnp.float32(0.0), jax.random.key(0)
+    )
+    times = jnp.arange(1, F + 1, dtype=jnp.float32) / 100.0
+    new_state, outs = emulate_chunk_sharded(
+        cfg, mesh, emu_params, emu_state, frames, times
+    )
+    jax.block_until_ready(outs["ev_count"])
+    assert outs["ev_count"].shape == (F, EH, EW)
+
+    # ---- multi-device conversion driver: time-segment sharding ----
+    # (a third, CLI-facing parallel path: see parallel/convert.py)
+    try:
+        from v2e_tpu.parallel.convert import dryrun_segments
+
+        seg_events = dryrun_segments(n_devices)
+    except ImportError:
+        seg_events = -1
+
+    print(
+        f"dryrun_multichip OK on mesh {mesh.devices.shape} "
+        f"(train loss {float(metrics['loss']):.3f}, "
+        f"{int(np.sum(np.asarray(outs['num_on']) + np.asarray(outs['num_off'])))}"
+        f" events, segment-parallel events {seg_events})"
+    )
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    n = int(argv[0]) if argv else 8
+    _force_cpu_platform(n)
+    run(n)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
