@@ -30,7 +30,9 @@ def run(tmp_path, extra):
 
 class TestAutoUpsample:
     def test_auto_mode_runs_and_refines_timestamps(self, tmp_path, small_video):
-        rc = run(tmp_path, ["-i", small_video, "--batch_size", "4"])
+        rc = run(tmp_path, [
+            "-i", small_video, "--batch_size", "4", "--allow_random_slomo",
+        ])
         assert rc == 0
         ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")
         assert ev.shape[0] > 0
@@ -187,3 +189,46 @@ class TestExposureModesCLI:
         ])
         assert rc == 0
         assert (tmp_path / "out" / "dvs.avi").exists()
+
+
+class TestMultiDevice:
+    """--devices N conversion (multi-chip via jax.sharding on the 8-device
+    CPU mesh; SURVEY §5 scale-out obligation)."""
+
+    def test_pixel_mode_stream_identical(self, tmp_path, small_video):
+        """Pixel-plane sharding is bit-exact: the event stream with
+        --devices 4 equals the single-device stream."""
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 virtual devices")
+        rc1 = run(tmp_path / "a", [
+            "-i", small_video, "--disable_slomo", "--dvs_emulator_seed", "3",
+        ])
+        rc2 = run(tmp_path / "b", [
+            "-i", small_video, "--disable_slomo", "--dvs_emulator_seed", "3",
+            "--devices", "4", "--parallel_mode", "pixel",
+        ])
+        assert rc1 == 0 and rc2 == 0
+        ev1 = np.loadtxt(tmp_path / "a" / "out" / "ev.txt", comments="#")
+        ev2 = np.loadtxt(tmp_path / "b" / "out" / "ev.txt", comments="#")
+        np.testing.assert_array_equal(ev1, ev2)
+
+    def test_segment_mode_runs_and_is_close(self, tmp_path, small_video):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        rc1 = run(tmp_path / "a", [
+            "-i", small_video, "--disable_slomo", "--dvs_emulator_seed", "3",
+        ])
+        rc2 = run(tmp_path / "b", [
+            "-i", small_video, "--disable_slomo", "--dvs_emulator_seed", "3",
+            "--devices", "8", "--parallel_mode", "segment",
+            "--segment_warmup", "2",
+        ])
+        assert rc1 == 0 and rc2 == 0
+        ev1 = np.loadtxt(tmp_path / "a" / "out" / "ev.txt", comments="#")
+        ev2 = np.loadtxt(tmp_path / "b" / "out" / "ev.txt", comments="#")
+        assert ev2.shape[0] > 0
+        assert abs(ev1.shape[0] - ev2.shape[0]) <= max(0.15 * ev1.shape[0], 30)

@@ -91,6 +91,134 @@ class TestMesh:
         assert losses[-1] < losses[0]
 
 
+class TestSegmentParallel:
+    """Time-segment data-parallel conversion (parallel/convert.py)."""
+
+    @pytest.fixture(scope="class")
+    def seg_mesh(self):
+        from v2e_tpu.parallel.convert import make_segment_mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        return make_segment_mesh(8)
+
+    def test_segmented_exact_on_grid_values(self):
+        """With log intensities on an exactly-representable threshold grid
+        (theta=0.25, HDR passthrough) the memorized base level stays on the
+        grid in both runs, so segment seeding is EXACT — including the
+        counter-based shot-noise draws and the frame-count padding path."""
+        from v2e_tpu.parallel.convert import emulate_chunk_segmented
+
+        rng = np.random.default_rng(0)
+        H, W, S = 12, 16, 4
+        F = 30  # not divisible by S: exercises dt=0 tail padding
+        frames = (rng.integers(-8, 8, (F + 1, H, W)) * 0.25).astype(np.float32)
+        times = np.arange(F + 1, dtype=np.float32) / 100.0
+        cfg = EmulatorConfig(
+            pos_thres=0.25, neg_thres=0.25, sigma_thres=0.0,
+            cutoff_hz=0.0, leak_rate_hz=0.0, shot_noise_rate_hz=5.0,
+            refractory_period_s=0.0, hdr=True, use_pallas_scan=False,
+        )
+        params, state = init_state(
+            cfg, jnp.asarray(frames[0]), jnp.float32(0.0), jax.random.key(1)
+        )
+        fr, tm = jnp.asarray(frames[1:]), jnp.asarray(times[1:])
+        st1, outs1 = emulate_chunk(cfg, params, state, fr, tm)
+
+        warm = 2
+        tail_f = jnp.broadcast_to(jnp.asarray(frames[0]), (warm + 1, H, W))
+        tail_t = jnp.broadcast_to(jnp.float32(0.0), (warm + 1,))
+        st2, outs2 = jax.jit(emulate_chunk_segmented, static_argnums=(0, 7, 8))(
+            cfg, params, state, fr, tm, tail_f, tail_t, S, warm
+        )
+        for k in ("ev_count", "shot_on", "shot_off", "num_on", "num_off",
+                  "i0", "K", "t_frame"):
+            np.testing.assert_array_equal(
+                np.asarray(outs1[k]), np.asarray(outs2[k]), err_msg=k
+            )
+        np.testing.assert_array_equal(
+            np.asarray(st1.base_log_frame), np.asarray(st2.base_log_frame)
+        )
+        assert int(st1.step_idx) == int(st2.step_idx)
+
+    def test_segmented_close_with_full_noise_model(self):
+        """Generic video + IIR + leak + mismatch: segment seeding is
+        approximate at seams; totals must stay close and most count cells
+        identical."""
+        from v2e_tpu.parallel.convert import emulate_chunk_segmented
+
+        rng = np.random.default_rng(7)
+        H, W, S, F = 24, 32, 4, 64
+        base = 128 * np.exp(rng.normal(0, 0.3, (H, W)))
+        drift = np.cumsum(rng.normal(0, 0.04, (F + 1, 1, 1)), axis=0)
+        frames = np.clip(base[None] * np.exp(drift), 0, 255).astype(np.float32)
+        times = np.arange(F + 1, dtype=np.float32) / 100.0
+        cfg = EmulatorConfig(
+            sigma_thres=0.03, cutoff_hz=80.0, leak_rate_hz=1.0,
+            shot_noise_rate_hz=2.0, refractory_period_s=0.0,
+            use_pallas_scan=False,
+        )
+        params, state = init_state(
+            cfg, jnp.asarray(frames[0]), jnp.float32(0.0), jax.random.key(2)
+        )
+        fr, tm = jnp.asarray(frames[1:]), jnp.asarray(times[1:])
+        _, outs1 = emulate_chunk(cfg, params, state, fr, tm)
+        warm = 8
+        tail_f = jnp.broadcast_to(jnp.asarray(frames[0]), (warm + 1, H, W))
+        tail_t = jnp.broadcast_to(jnp.float32(0.0), (warm + 1,))
+        _, outs2 = jax.jit(emulate_chunk_segmented, static_argnums=(0, 7, 8))(
+            cfg, params, state, fr, tm, tail_f, tail_t, S, warm
+        )
+        a = np.asarray(outs1["ev_count"])
+        b = np.asarray(outs2["ev_count"])
+        # the overwhelming majority of (frame, pixel) cells agree exactly
+        assert np.mean(a == b) > 0.95
+        n1 = int(np.sum(np.asarray(outs1["num_on"]) + np.asarray(outs1["num_off"])))
+        n2 = int(np.sum(np.asarray(outs2["num_on"]) + np.asarray(outs2["num_off"])))
+        # leak sawtooth phase restarts at each seam (fresh base = lp means
+        # zero residual, so the first leak event per segment comes late):
+        # totals deviate by O(S pixels / leak period), ~10% here
+        assert abs(n1 - n2) <= max(0.12 * n1, 20)
+
+    def test_facade_segment_mode_multichunk(self, seg_mesh):
+        """EventEmulator(parallel_mode='segment') across multiple submits:
+        the rolling tail buffer seeds chunk k+1 from chunk k's real frames;
+        grid-exact values make the whole stream equal the plain one."""
+        from v2e_tpu.emulator import EventEmulator
+
+        rng = np.random.default_rng(3)
+        H, W = 16, 24
+        frames = (rng.integers(-8, 8, (32, H, W)) * 0.25).astype(np.float32)
+        times = np.arange(32) * 0.01
+
+        kw = dict(pos_thres=0.25, neg_thres=0.25, sigma_thres=0.0,
+                  cutoff_hz=0.0, leak_rate_hz=0.0, shot_noise_rate_hz=5.0,
+                  refractory_period_s=0.0, hdr=True, seed=11,
+                  shuffle_events_within_iteration=False)
+        plain = EventEmulator(**kw)
+        seg = EventEmulator(
+            mesh=seg_mesh, parallel_mode="segment", segment_warmup=2, **kw
+        )
+        ev_p, ev_s = [], []
+        for s in range(0, 32, 16):  # two chunks of 16
+            chunk, t = frames[s : s + 16], times[s : s + 16]
+            a = plain.generate_events_batch(chunk, t)
+            b = seg.generate_events_batch(chunk, t)
+            if a is not None:
+                ev_p.append(a)
+            if b is not None:
+                ev_s.append(b)
+        ev_p = np.concatenate(ev_p)
+        ev_s = np.concatenate(ev_s)
+        np.testing.assert_allclose(ev_p, ev_s, atol=1e-6)
+
+    def test_dryrun_segments(self, seg_mesh):
+        from v2e_tpu.parallel.convert import dryrun_segments
+
+        n = dryrun_segments(8)
+        assert n > 0
+
+
 class TestShardedEmulatorFacade:
     def test_event_emulator_with_mesh_matches(self, mesh):
         """EventEmulator(mesh=...) produces the identical event stream."""

@@ -234,6 +234,19 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
     perf_group.add_argument("--resume_state", default=None,
                             help="restore emulator state from a .npz written "
                                  "by --checkpoint_state before converting")
+    perf_group.add_argument("--devices", type=int, default=1,
+                            help="number of accelerator devices for the "
+                                 "conversion (multi-chip via jax.sharding)")
+    perf_group.add_argument("--parallel_mode", choices=("pixel", "segment"),
+                            default="pixel",
+                            help="multi-chip strategy with --devices>1: "
+                                 "'pixel' shards image rows (bit-exact); "
+                                 "'segment' shards time segments (faster for "
+                                 "small sensors at high upsampling; events at "
+                                 "segment seams may shift by one threshold)")
+    perf_group.add_argument("--segment_warmup", type=int, default=8,
+                            help="overlap frames replayed to re-seed each "
+                                 "time segment in --parallel_mode segment")
 
     return parser
 

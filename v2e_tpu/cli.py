@@ -77,6 +77,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         level=logging.INFO,
         format="%(asctime)s %(levelname)s %(name)s: %(message)s",
     )
+    # honor the JAX_PLATFORMS env var even when a site hook pinned a
+    # different platform list via jax.config at interpreter startup
+    import os
+
+    platform_env = os.environ.get("JAX_PLATFORMS")
+    if platform_env:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", platform_env)
+        except RuntimeError:
+            pass  # backend already initialized (e.g. embedded caller)
+
     args, other_args = get_args(argv)
 
     if args.input is None and args.synthetic_input is None:
@@ -119,8 +132,57 @@ def main(argv: Optional[List[str]] = None) -> int:
     return run()
 
 
+def _make_mesh_from_args(args, output_height):
+    """Build the conversion mesh for --devices > 1 (None for single-chip)."""
+    devices = getattr(args, "devices", 1) or 1
+    if devices <= 1:
+        return None, "pixel"
+    import jax
+
+    avail = len(jax.devices())
+    if devices > avail:
+        logger.warning(
+            f"--devices {devices} > {avail} available; using {avail}"
+        )
+        devices = avail
+    if devices <= 1:
+        return None, "pixel"
+    mode = getattr(args, "parallel_mode", "pixel")
+    if mode == "segment":
+        from v2e_tpu.parallel.convert import make_segment_mesh
+
+        return make_segment_mesh(devices), mode
+
+    # pixel mode shards image rows: the row count must divide the spatial
+    # axis, so use the largest divisor of H that fits the device budget
+    import numpy as _np
+    from jax.sharding import Mesh
+
+    H = output_height or 260
+    s = max(d for d in range(1, devices + 1) if H % d == 0)
+    if s <= 1:
+        logger.warning(
+            f"--devices {devices}: no divisor of height {H} > 1; "
+            "running single-device (try --parallel_mode segment)"
+        )
+        return None, "pixel"
+    if s < devices:
+        logger.warning(
+            f"--devices {devices}: height {H} shards over {s} devices "
+            f"(largest divisor); {devices - s} devices idle"
+        )
+    mesh = Mesh(
+        _np.array(jax.devices()[:s]).reshape(1, s), ("data", "spatial")
+    )
+    return mesh, mode
+
+
 def _make_emulator(args, output_folder, output_width, output_height):
+    mesh, parallel_mode = _make_mesh_from_args(args, output_height)
     em = EventEmulator(
+        mesh=mesh,
+        parallel_mode=parallel_mode,
+        segment_warmup=getattr(args, "segment_warmup", 8),
         compaction_capacity_hint=args.compaction_capacity,
         pos_thres=args.pos_thres,
         neg_thres=args.neg_thres,

@@ -680,6 +680,25 @@ def _emulate_chunk_fast(
     return new_state, outs
 
 
+def emulate_chunk_impl(
+    cfg: EmulatorConfig,
+    params: EmulatorParams,
+    state: EmulatorState,
+    frames: jnp.ndarray,
+    times: jnp.ndarray,
+) -> Tuple[EmulatorState, Dict[str, jnp.ndarray]]:
+    """Unjitted chunk evaluation (see `emulate_chunk`): traceable inside
+    other programs (vmap over segments, fused SloMo+emulate chunks)."""
+    if not (cfg.csdvs_enabled or cfg.emit_states or cfg.probe is not None):
+        return _emulate_chunk_fast(cfg, params, state, frames, times)
+
+    def body(st, inp):
+        frame, t = inp
+        return emulator_step(cfg, params, st, frame, t)
+
+    return jax.lax.scan(body, state, (frames, times))
+
+
 @functools.partial(jax.jit, static_argnums=(0,))
 def emulate_chunk(
     cfg: EmulatorConfig,
@@ -703,11 +722,4 @@ def emulate_chunk(
     per-step extras it doesn't support (CSDVS diffusion, state-frame
     emission, the single-pixel probe).
     """
-    if not (cfg.csdvs_enabled or cfg.emit_states or cfg.probe is not None):
-        return _emulate_chunk_fast(cfg, params, state, frames, times)
-
-    def body(st, inp):
-        frame, t = inp
-        return emulator_step(cfg, params, st, frame, t)
-
-    return jax.lax.scan(body, state, (frames, times))
+    return emulate_chunk_impl(cfg, params, state, frames, times)

@@ -111,10 +111,20 @@ class EventEmulator:
         shuffle_events_within_iteration: bool = True,
         compaction_capacity_hint: Optional[int] = None,
         mesh=None,
+        parallel_mode: str = "pixel",
+        segment_warmup: int = 8,
+        n_segments: Optional[int] = None,
     ):
-        """`mesh`: optional jax.sharding.Mesh with a 'spatial' axis — the
-        pixel plane (image rows) shards across it and XLA inserts the tiny
-        per-frame collectives (see v2e_tpu/parallel/)."""
+        """`mesh`: optional jax.sharding.Mesh for multi-chip conversion.
+
+        parallel_mode='pixel' (default): the pixel plane (image rows) shards
+        over the mesh's 'spatial' axis — bit-exact vs single-device.
+        parallel_mode='segment': the chunk splits into n_segments contiguous
+        time segments sharded over a 1-D 'seg' mesh, each seeded with
+        `segment_warmup` overlap frames (warmup events discarded) — better
+        scaling for small sensors at high upsampling, events near segment
+        boundaries may shift by up to one threshold crossing
+        (see v2e_tpu/parallel/convert.py)."""
         if record_single_pixel_states is not None:
             if (
                 not isinstance(record_single_pixel_states, tuple)
@@ -157,6 +167,24 @@ class EventEmulator:
 
             # Pallas kernels don't SPMD-partition over a mesh
             self.cfg = dataclasses.replace(self.cfg, use_pallas_scan=False)
+        if parallel_mode not in ("pixel", "segment"):
+            raise ValueError(f"parallel_mode {parallel_mode!r} must be 'pixel' or 'segment'")
+        if mesh is not None and parallel_mode == "segment":
+            if "seg" not in mesh.axis_names:
+                raise ValueError(
+                    "segment-parallel mode needs a 1-D mesh with axis 'seg' "
+                    "(see v2e_tpu.parallel.convert.make_segment_mesh)"
+                )
+            if record_single_pixel_states is not None or emit_states:
+                raise ValueError(
+                    "segment-parallel mode does not support the single-pixel "
+                    "probe or model-state emission (use parallel_mode='pixel')"
+                )
+        self.parallel_mode = parallel_mode
+        self.segment_warmup = int(segment_warmup)
+        self.n_segments = n_segments
+        self._tail_frames = None  # last warmup+1 frames (segment mode)
+        self._tail_times = None  # their absolute f64 times
         self.cfg.validate()
 
         self.label_signal_noise = label_signal_noise
@@ -401,15 +429,45 @@ class EventEmulator:
         t_origin = self.t_origin
         rel_times = jnp.asarray(times[start:] - t_origin, dtype=jnp.float32)
 
-        if self.mesh is not None:
-            from v2e_tpu.parallel.mesh import shard_emulator_args
+        if self.mesh is not None and self.parallel_mode == "segment":
+            from v2e_tpu.parallel.convert import emulate_and_compact_segmented
 
-            self.params, self.state, chunk, rel_times = shard_emulator_args(
-                self.mesh, self.params, self.state, chunk, rel_times
+            W = self.segment_warmup
+            if self._tail_frames is None:
+                # first chunk: replicate the init frame (dt=0 replays are
+                # exact no-ops through the whole model)
+                self._tail_frames = jnp.broadcast_to(
+                    jnp.asarray(frames[0], jnp.float32),
+                    (W + 1, *frames.shape[1:]),
+                )
+                self._tail_times = np.full(W + 1, float(times[0]))
+            S = self.n_segments or self.mesh.devices.size
+            tail_rel = jnp.asarray(
+                self._tail_times - t_origin, dtype=jnp.float32
             )
-        self.state, outs, packed = emulate_and_compact(
-            self.cfg, self.params, self.state, chunk, rel_times, self._capacity
-        )
+            self.state, outs, packed = emulate_and_compact_segmented(
+                self.cfg, self.params, self.state, chunk, rel_times,
+                self._tail_frames, tail_rel, S, W, self._capacity, self.mesh,
+            )
+            # roll the tail buffer: last W+1 frames precede the next chunk
+            allf = jnp.concatenate(
+                [jnp.asarray(self._tail_frames, jnp.float32),
+                 jnp.asarray(chunk, jnp.float32)]
+            )
+            self._tail_frames = allf[-(W + 1):]
+            self._tail_times = np.concatenate(
+                [self._tail_times, np.asarray(times[start:], np.float64)]
+            )[-(W + 1):]
+        else:
+            if self.mesh is not None:
+                from v2e_tpu.parallel.mesh import shard_emulator_args
+
+                self.params, self.state, chunk, rel_times = shard_emulator_args(
+                    self.mesh, self.params, self.state, chunk, rel_times
+                )
+            self.state, outs, packed = emulate_and_compact(
+                self.cfg, self.params, self.state, chunk, rel_times, self._capacity
+            )
 
         self.frame_counter += frames.shape[0] - start
         self.t_previous = float(times[-1])
