@@ -30,9 +30,17 @@ def _force_cpu_platform(n_devices: int) -> None:
     """
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
+        flags = (
             flags + f" --xla_force_host_platform_device_count={n_devices}"
         ).strip()
+    if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+        # Few-core hosts: rendezvous progresses but can outlast the default
+        # terminate timeout (8 virtual devices on 1 core -> SIGABRT).
+        flags += (
+            " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+            " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+        )
+    os.environ["XLA_FLAGS"] = flags
     os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
