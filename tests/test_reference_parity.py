@@ -530,3 +530,89 @@ class TestReferenceWriterParity:
             return data[pos:]
 
         assert payload(ref_path) == payload(our_path)
+
+
+class TestCSDVSParity:
+    """The exact DCT-domain CSDVS solver vs the reference's Euler stepping
+    (/root/reference/v2ecore/emulator.py:1061-1124).
+
+    The reference integrates dh/dt = (p-h)/tau_p + lap(h)/tau_h with
+    replication-padded Euler steps; our solver evaluates the same
+    spatially-discretized ODE's closed-form transient in the DCT basis, so
+    agreement is bounded by the reference's own Euler error (O(alpha) per
+    step) and its 1e-5 termination threshold.
+    """
+
+    H, W = 24, 32
+
+    def _fields(self, seed=0):
+        rng = np.random.default_rng(seed)
+        p = rng.normal(2.0, 0.5, (self.H, self.W)).astype(np.float32)
+        # smooth p a little so it resembles a lowpassed log frame
+        p = (p + np.roll(p, 1, 0) + np.roll(p, 1, 1) + np.roll(p, -1, 0)) / 4
+        h0 = p + rng.normal(0.0, 0.2, (self.H, self.W)).astype(np.float32)
+        return p.astype(np.float32), h0.astype(np.float32)
+
+    def _run_reference(self, p, h0, dt, lam, tau_p_ms):
+        import torch
+
+        em = RefEmulator(
+            device="cpu", seed=42,
+            cs_lambda_pixels=lam, cs_tau_p_ms=tau_p_ms,
+        )
+        em.lp_log_frame = torch.tensor(p)
+        em.cs_surround_frame = torch.tensor(h0.copy())
+        em._update_csdvs(dt)
+        return em.cs_surround_frame.numpy()
+
+    def _run_ours(self, p, h0, dt, lam, tau_p_ms, solver="exact"):
+        import jax.numpy as jnp
+
+        from v2e_tpu.emulator.config import EmulatorConfig
+        from v2e_tpu.emulator.core import _update_csdvs
+
+        cfg = EmulatorConfig(
+            cs_lambda_pixels=lam, cs_tau_p_ms=tau_p_ms, csdvs_solver=solver
+        )
+        return np.asarray(
+            _update_csdvs(cfg, jnp.asarray(p), jnp.asarray(h0), jnp.float32(dt))
+        )
+
+    def test_transient_moderate_dt(self):
+        # 40 Euler steps at alpha_h=0.2: reference error is a few percent
+        p, h0 = self._fields()
+        ref = self._run_reference(p, h0, 0.02, 2.0, 10.0)
+        ours = self._run_ours(p, h0, 0.02, 2.0, 10.0)
+        assert np.max(np.abs(ours - ref)) < 0.02
+
+    def test_steady_state_long_dt(self):
+        # dt >> tau: both sides settle to the screened-Poisson steady state
+        p, h0 = self._fields(1)
+        ref = self._run_reference(p, h0, 1.0, 2.0, 10.0)
+        ours = self._run_ours(p, h0, 1.0, 2.0, 10.0)
+        assert np.max(np.abs(ours - ref)) < 2e-3
+
+    def test_exact_vs_euler_internal(self):
+        # our own capped-Euler path agrees with the closed form when the
+        # cap is not hit (dt small enough)
+        p, h0 = self._fields(2)
+        a = self._run_ours(p, h0, 0.01, 2.0, 10.0, solver="exact")
+        b = self._run_ours(p, h0, 0.01, 2.0, 10.0, solver="euler")
+        assert np.max(np.abs(a - b)) < 0.02
+
+    def test_no_step_cap_lag(self):
+        # the round-1 weakness: at dt requiring >1000 Euler steps the old
+        # path lagged. The exact solver must land on the steady state.
+        p, h0 = self._fields(3)
+        tau_p_ms, lam = 0.05, 4.0  # min_tau ~ 3.1 us -> 1.6M Euler steps/5ms
+        ours = self._run_ours(p, h0, 0.005, lam, tau_p_ms, solver="exact")
+        # steady state: (I - lambda^2 lap) h = p in the DCT basis
+        import scipy.fft as sfft
+
+        lam2 = tau_p_ms / (tau_p_ms / lam**2)
+        si = np.sin(np.pi * np.arange(self.H) / (2 * self.H)) ** 2
+        sj = np.sin(np.pi * np.arange(self.W) / (2 * self.W)) ** 2
+        ev = 4 * (si[:, None] + sj[None, :])
+        phat = sfft.dctn(p, type=2, norm="ortho")
+        hss = sfft.idctn(phat / (1 + lam2 * ev), type=2, norm="ortho")
+        assert np.max(np.abs(ours - hss)) < 1e-4

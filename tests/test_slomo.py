@@ -180,6 +180,7 @@ class TestPipelineE2E:
             "--dvs_params", "clean",
             "--skip_video_output",
             "--no_shuffle",
+            "--allow_random_slomo",
         ])
         assert rc == 0
         ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")
@@ -231,6 +232,7 @@ class TestHighUpsampling:
             "--dvs_text", "ev.txt",
             "--dvs_params", "clean",
             "--skip_video_output", "--no_shuffle",
+            "--allow_random_slomo",
         ])
         assert rc == 0
         ev = np.loadtxt(tmp_path / "out" / "ev.txt", comments="#")

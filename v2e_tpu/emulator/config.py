@@ -52,6 +52,10 @@ class EmulatorConfig:
     # center-surround DVS (diffuser network); None disables
     cs_lambda_pixels: Optional[float] = None
     cs_tau_p_ms: Optional[float] = None
+    # "exact": closed-form DCT transient (the solution the reference's
+    # Euler stepping approximates — its own TODO, emulator.py:1067);
+    # "euler": capped lax.while_loop Euler stepping for cross-validation
+    csdvs_solver: str = "exact"
 
     # PRNG seed; 0 means draw fresh entropy
     seed: int = 0

@@ -48,7 +48,75 @@ _LAPLACIAN = np.array(
 )
 
 
+def _csdvs_taus(cfg: EmulatorConfig) -> Tuple[float, float]:
+    """Photoreceptor/horizontal-cell time constants in seconds with the
+    reference's zero-tau floor (emulator.py:1069-1074)."""
+    abs_min_tau_p = 1e-9
+    tau_p = (
+        abs_min_tau_p
+        if (cfg.cs_tau_p_ms is None or cfg.cs_tau_p_ms == 0)
+        else cfg.cs_tau_p_ms * 1e-3
+    )
+    tau_h = (
+        abs_min_tau_p / (cfg.cs_lambda_pixels**2)
+        if cfg.cs_tau_h_ms == 0
+        else cfg.cs_tau_h_ms * 1e-3
+    )
+    return tau_p, tau_h
+
+
 def _update_csdvs(
+    cfg: EmulatorConfig,
+    lp_log_frame: jnp.ndarray,
+    cs_surround_frame: jnp.ndarray,
+    delta_time: jnp.ndarray,
+) -> jnp.ndarray:
+    """Advance the horizontal-cell diffuser by ``delta_time`` — exactly.
+
+    The reference Euler-steps ``dh/dt = (p - h)/tau_p + lap(h)/tau_h`` with
+    replication padding, up to thousands of steps per frame, and its own
+    TODO asks for a better method (emulator.py:1067, 1076-1121).
+    Replication-padded 5-point Laplacian == zero-flux (Neumann) boundary,
+    which the DCT-II basis diagonalizes with eigenvalues
+    ``-4 (sin^2(pi i / 2H) + sin^2(pi j / 2W))``.  In that basis the ODE is
+    a scalar linear relaxation per mode, so the transient has a closed
+    form:
+
+        h_hat(dt) = hss_hat + exp(-dt * a) * (h0_hat - hss_hat)
+        a         = 1/tau_p + lam/tau_h
+        hss_hat   = p_hat / (1 + lam * tau_p/tau_h)      (screened Poisson)
+
+    This is the exact solution of the same spatially-discretized ODE for
+    ANY delta_time — no step cap, no termination threshold, no lag.  The
+    'instantaneous' zero-tau mode drops out naturally (exp -> 0, hss with
+    lambda^2 = tau_p/tau_h fixed).
+    """
+    if getattr(cfg, "csdvs_solver", "exact") == "euler":
+        return _update_csdvs_euler(cfg, lp_log_frame, cs_surround_frame, delta_time)
+    tau_p, tau_h = _csdvs_taus(cfg)
+    H, W = lp_log_frame.shape
+
+    def dct2(x):
+        y = jax.scipy.fft.dct(x, type=2, axis=0, norm="ortho")
+        return jax.scipy.fft.dct(y, type=2, axis=1, norm="ortho")
+
+    def idct2(x):
+        y = jax.scipy.fft.idct(x, type=2, axis=1, norm="ortho")
+        return jax.scipy.fft.idct(y, type=2, axis=0, norm="ortho")
+
+    si = np.sin(np.pi * np.arange(H) / (2.0 * H)) ** 2
+    sj = np.sin(np.pi * np.arange(W) / (2.0 * W)) ** 2
+    lam = 4.0 * (si[:, None] + sj[None, :]).astype(np.float32)  # -eigenvalue
+
+    p_hat = dct2(lp_log_frame.astype(jnp.float32))
+    h_hat = dct2(cs_surround_frame.astype(jnp.float32))
+    a = 1.0 / tau_p + lam / tau_h
+    hss_hat = p_hat / (1.0 + lam * (tau_p / tau_h))
+    decay = jnp.exp(-delta_time.astype(jnp.float32) * a)
+    return idct2(hss_hat + decay * (h_hat - hss_hat))
+
+
+def _update_csdvs_euler(
     cfg: EmulatorConfig,
     lp_log_frame: jnp.ndarray,
     cs_surround_frame: jnp.ndarray,
@@ -60,7 +128,8 @@ def _update_csdvs(
     Laplacian diffusion with early termination when the max update falls
     below CS_MAX_CHANGE.  The unbounded Python ``while`` becomes a
     ``lax.while_loop`` with a static step cap; the number of steps is
-    data-dependent but shape-static.
+    data-dependent but shape-static.  Kept for cross-validation against the
+    exact DCT solver (and the reference's own stepping).
     """
     abs_min_tau_p = 1e-9
     tau_p = abs_min_tau_p if (cfg.cs_tau_p_ms is None or cfg.cs_tau_p_ms == 0) else cfg.cs_tau_p_ms * 1e-3

@@ -151,10 +151,17 @@ def interpolate_pairs(
             use_pallas_warp, warp_max_disp,
         )
         g0, g1 = g01[: g * B], g01[g * B :]
+        # cast each part to the compute dtype BEFORE the concat: the casts
+        # fuse into the producers and the 12-channel stack materializes at
+        # half the bytes (the f32 concat was ~30 ms/group on v5e)
         intrp = unet_apply(
             interp_params,
             jnp.concatenate(
-                [I0g, I1g, F01g, F10g, F_t_1, F_t_0, g1, g0], axis=1
+                [
+                    t.astype(compute_dtype)
+                    for t in (I0g, I1g, F01g, F10g, F_t_1, F_t_0, g1, g0)
+                ],
+                axis=1,
             ),
             compute_dtype,
         )
