@@ -46,6 +46,52 @@ _EVENT_DTYPE = np.dtype(
 )
 assert _EVENT_DTYPE.itemsize == 16
 
+# byte position of the IOHeader's dataTablePosition int64 within the file:
+# 14-byte version line + size prefix(4) + root offset(4) + 'IOHE'(4) +
+# vtable(10) + pad(2) + soffset(4) + compression(4) — see
+# _io_header_flatbuffer's layout
+_VERSION_LINE = b"#!AER-DAT4.0\r\n"
+_DTP_FILE_OFFSET = len(_VERSION_LINE) + 32
+
+
+def _file_data_table_flatbuffer(entries) -> bytes:
+    """Serialize the dv FileDataTable (seek index) with the generic
+    flatbuffers builder.
+
+    Schema (dv-processing IODataTable.fbs):
+      struct PacketHeader { StreamID:int32; Size:int32; }
+      table FileDataDefinition { ByteOffset:int64; PacketInfo:PacketHeader;
+        NumElements:int64; TimestampStart:int64; TimestampEnd:int64; }
+      table FileDataTable { Table:[FileDataDefinition]; }  // id "IODT"
+
+    entries: iterable of (byte_offset, stream_id, size, num, ts0_us, ts1_us).
+    """
+    import flatbuffers
+
+    b = flatbuffers.Builder(64 + 64 * len(entries))
+    offs = []
+    for byte_offset, stream_id, size, num, ts0, ts1 in entries:
+        b.StartObject(5)
+        b.PrependInt64Slot(4, int(ts1), 0)
+        b.PrependInt64Slot(3, int(ts0), 0)
+        b.PrependInt64Slot(2, int(num), 0)
+        # field 1: inline PacketHeader struct
+        b.Prep(4, 8)
+        b.PrependInt32(int(size))
+        b.PrependInt32(int(stream_id))
+        b.PrependStructSlot(1, b.Offset(), 0)
+        b.PrependInt64Slot(0, int(byte_offset), 0)
+        offs.append(b.EndObject())
+    b.StartVector(4, len(offs), 4)
+    for off in reversed(offs):
+        b.PrependUOffsetTRelative(off)
+    vec = b.EndVector()
+    b.StartObject(1)
+    b.PrependUOffsetTRelativeSlot(0, vec, 0)
+    root = b.EndObject()
+    b.FinishSizePrefixed(root, b"IODT")
+    return bytes(b.Output())
+
 
 def _event_packet_flatbuffer(events_struct: np.ndarray) -> bytes:
     """Serialize an EventPacket table as a size-prefixed flatbuffer.
@@ -140,6 +186,7 @@ class AEDat4Output:
         output_height: int = 480,
         compression: str = "none",
         source_name: str = "v2e_tpu",
+        data_table: bool = True,
     ):
         if compression not in ("none", "zstd"):
             raise ValueError("compression must be 'none' or 'zstd'")
@@ -157,9 +204,12 @@ class AEDat4Output:
             import zstandard
 
             self._zctx = zstandard.ZstdCompressor()
+        # seek index written at close when enabled (dv-processing writes
+        # one by default; dataTablePosition -1 means absent)
+        self._data_table = [] if data_table else None
 
         self.file = open(filepath, "wb")
-        self.file.write(b"#!AER-DAT4.0\r\n")
+        self.file.write(_VERSION_LINE)
         info = _out_info_xml(output_width, output_height, compression, source_name)
         self.file.write(
             _io_header_flatbuffer(_COMPRESSION[compression], -1, info)
@@ -187,6 +237,11 @@ class AEDat4Output:
         body = _event_packet_flatbuffer(rec)
         if self._zctx is not None:
             body = self._zctx.compress(body)
+        if self._data_table is not None:
+            self._data_table.append((
+                self.file.tell(), self.STREAM_ID, len(body), n,
+                int(rec["t"][0]), int(rec["t"][-1]),
+            ))
         self.file.write(struct.pack("<ii", self.STREAM_ID, len(body)))
         self.file.write(body)
 
@@ -197,6 +252,15 @@ class AEDat4Output:
 
     def close(self) -> None:
         if self.file is not None:
+            if self._data_table is not None:
+                table_pos = self.file.tell()
+                body = _file_data_table_flatbuffer(self._data_table)
+                if self._zctx is not None:
+                    body = self._zctx.compress(body)
+                self.file.write(body)
+                # patch the IOHeader's dataTablePosition in place
+                self.file.seek(_DTP_FILE_OFFSET)
+                self.file.write(struct.pack("<q", table_pos))
             logger.info(
                 f"closing {self.filepath} after writing {self.numEventsWritten} "
                 f"events ({self.numOnEvents} on, {self.numOffEvents} off)"
@@ -227,10 +291,15 @@ def read_aedat4(filepath: str) -> np.ndarray:
         vt = root_off - soff
         vt_size, obj_size = struct.unpack_from("<HH", hdr, vt)
         comp = 0
+        data_table_pos = -1
         if vt_size >= 6:
             (f0,) = struct.unpack_from("<H", hdr, vt + 4)
             if f0:
                 (comp,) = struct.unpack_from("<i", hdr, root_off + f0)
+        if vt_size >= 8:
+            (f1,) = struct.unpack_from("<H", hdr, vt + 6)
+            if f1:
+                (data_table_pos,) = struct.unpack_from("<q", hdr, root_off + f1)
         dctx = None
         if comp in (4, 8):
             import zstandard
@@ -241,6 +310,10 @@ def read_aedat4(filepath: str) -> np.ndarray:
 
         chunks = []
         while True:
+            # the FileDataTable (when present) sits at data_table_pos with
+            # no packet header in front of it — stop the packet scan there
+            if data_table_pos >= 0 and f.tell() >= data_table_pos:
+                break
             ph = f.read(8)
             if len(ph) < 8:
                 break
@@ -268,4 +341,82 @@ def read_aedat4(filepath: str) -> np.ndarray:
     out[:, 1] = rec["x"]
     out[:, 2] = rec["y"]
     out[:, 3] = rec["p"] * 2.0 - 1.0
+    return out
+
+
+def read_aedat4_data_table(filepath: str):
+    """Parse the FileDataTable seek index (generic vtable walk).
+
+    Returns a list of dicts or None when the file has no table
+    (dataTablePosition == -1).
+    """
+    with open(filepath, "rb") as f:
+        version = f.readline()
+        if not version.startswith(b"#!AER-DAT4.0"):
+            raise ValueError(f"not an AEDAT-4.0 file: {version!r}")
+        (hdr_size,) = struct.unpack("<I", f.read(4))
+        hdr = f.read(hdr_size)
+        (root_off,) = struct.unpack_from("<I", hdr, 0)
+        (soff,) = struct.unpack_from("<i", hdr, root_off)
+        vt = root_off - soff
+        (vt_size,) = struct.unpack_from("<H", hdr, vt)
+        comp = 0
+        pos = -1
+        if vt_size >= 6:
+            (f0,) = struct.unpack_from("<H", hdr, vt + 4)
+            if f0:
+                (comp,) = struct.unpack_from("<i", hdr, root_off + f0)
+        if vt_size >= 8:
+            (f1,) = struct.unpack_from("<H", hdr, vt + 6)
+            if f1:
+                (pos,) = struct.unpack_from("<q", hdr, root_off + f1)
+        if pos < 0:
+            return None
+        f.seek(pos)
+        body = f.read()
+    if comp in (4, 8):
+        import zstandard
+
+        body = zstandard.ZstdDecompressor().decompress(body)
+    elif comp != 0:
+        raise NotImplementedError(f"compression enum {comp} unsupported")
+
+    def table_fields(buf, tab):
+        (soff,) = struct.unpack_from("<i", buf, tab)
+        vt = tab - soff
+        (vsz,) = struct.unpack_from("<H", buf, vt)
+        n_fields = (vsz - 4) // 2
+        return [
+            struct.unpack_from("<H", buf, vt + 4 + 2 * i)[0]
+            for i in range(n_fields)
+        ]
+
+    (root_rel,) = struct.unpack_from("<I", body, 4)
+    root = 4 + root_rel
+    fields = table_fields(body, root)
+    (vec_rel,) = struct.unpack_from("<I", body, root + fields[0])
+    vec = root + fields[0] + vec_rel
+    (count,) = struct.unpack_from("<I", body, vec)
+    out = []
+    for i in range(count):
+        (ent_rel,) = struct.unpack_from("<I", body, vec + 4 + 4 * i)
+        ent = vec + 4 + 4 * i + ent_rel
+        ef = table_fields(body, ent)
+
+        def fld(idx, fmt, default=0):
+            if idx >= len(ef) or ef[idx] == 0:
+                return default
+            return struct.unpack_from(fmt, body, ent + ef[idx])[0]
+
+        stream_id = size = 0
+        if len(ef) > 1 and ef[1]:
+            stream_id, size = struct.unpack_from("<ii", body, ent + ef[1])
+        out.append({
+            "byte_offset": fld(0, "<q"),
+            "stream_id": stream_id,
+            "size": size,
+            "num_elements": fld(2, "<q"),
+            "timestamp_start": fld(3, "<q"),
+            "timestamp_end": fld(4, "<q"),
+        })
     return out
