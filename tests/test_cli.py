@@ -41,6 +41,35 @@ class TestSyntheticCLI:
         assert np.all(np.diff(ev[:, 0]) >= 0)  # monotonic time
         assert set(np.unique(ev[:, 3])) <= {0.0, 1.0}
 
+    def test_device_generator_path_matches_host(self, tmp_path, monkeypatch):
+        """The CLI's device-rendered synthetic path (cli.py auto-selects it
+        when the generator has `device_frames`) yields the same events as
+        the host next_frame loop."""
+        args = [
+            "--synthetic_input", "v2e_tpu.synthetic.moving_dot",
+            "--disable_slomo",
+            "--dvs_text", "v2e.txt",
+            "--output_width", "96", "--output_height", "80",
+            "--dvs_params", "clean",
+            "--dvs_emulator_seed", "7",
+            "--cycles", "0.02",
+            "--radius", "30",
+            "--skip_video_output",
+        ]
+        assert run_cli(tmp_path / "dev", args) == 0
+        from v2e_tpu.synthetic.moving_dot import moving_dot
+
+        monkeypatch.delattr(moving_dot, "device_frames")
+        assert run_cli(tmp_path / "host", args) == 0
+        def events(p):  # header carries a creation timestamp
+            return [l for l in p.read_text().splitlines()
+                    if not l.startswith("#")]
+
+        dev = events(tmp_path / "dev" / "out" / "v2e.txt")
+        host = events(tmp_path / "host" / "out" / "v2e.txt")
+        assert len(dev) > 100
+        assert dev == host
+
     def test_gradients_h5(self, tmp_path):
         rc = run_cli(tmp_path, [
             "--synthetic_input", "v2e_tpu.synthetic.gradients",

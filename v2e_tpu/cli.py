@@ -319,6 +319,24 @@ def _run_synthetic(args, other_args, output_folder, output_width, output_height,
     chunk_times: List[float] = []
     pbar = tqdm(total=syn.total_frames(), desc="synthetic", unit="fr")
 
+    if avi_path is None and hasattr(syn, "device_frames"):
+        # pixel-exact device-side generator (synthetic/device.py): frames
+        # are rendered on device per chunk and feed the emulator without a
+        # host round trip (the reference renders every frame in Python,
+        # e.g. scripts/moving_dot.py:25-54)
+        times = np.asarray(syn.times, dtype=np.float64)
+        stats.first_ts = float(times[0])
+        stats.last_ts = float(times[-1])
+        stats.n_frames = len(times)
+        for s in range(0, len(times), args.chunk_size):
+            blk = times[s : s + args.chunk_size]
+            pipeline.push(syn.device_frames(blk), blk)
+            pbar.update(len(blk))
+        pipeline.close()
+        pbar.close()
+        syn.cleanup()
+        return _finish(args, emulator, renderer, stats)
+
     def flush():
         if not chunk_frames:
             return

@@ -105,6 +105,10 @@ class AEDat2Output:
 
         lib = get_lib()
         if lib is not None and self.flipx and self.flipy:
+            # same guard as the numpy path below (reference warns on every
+            # write, aedat2_output.py:156-157)
+            if np.any(np.diff(events[:, 0]) < 0):
+                logger.warning("nonmonotonic timestamp in AEDAT-2 output")
             ev = np.ascontiguousarray(events, dtype=np.float64)
             mask_ptr = None
             mask = None

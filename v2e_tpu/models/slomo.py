@@ -33,6 +33,7 @@ import numpy as np
 from v2e_tpu.models.backwarp import backwarp, warp
 from v2e_tpu.models.convert_ckpt import init_random_slomo_params, load_slomo_params
 from v2e_tpu.models.unet import unet_apply
+from v2e_tpu.models.unet_s2d import unet_apply_s2d
 
 logger = logging.getLogger(__name__)
 
@@ -59,12 +60,14 @@ def snap32(x: int) -> int:
     return max(32, int(x / 32) * 32)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def compute_flow(
-    flow_params, I0: jnp.ndarray, I1: jnp.ndarray, compute_dtype=jnp.bfloat16
+    flow_params, I0: jnp.ndarray, I1: jnp.ndarray, compute_dtype=jnp.bfloat16,
+    use_s2d: bool = False,
 ) -> jnp.ndarray:
     """Run the flow UNet on a batch of normalized pairs. Returns [B,4,h,w]."""
-    return unet_apply(
+    apply = unet_apply_s2d if use_s2d else unet_apply
+    return apply(
         flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
     )
 
@@ -77,7 +80,7 @@ def max_flow_speed(flow_out: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.max(sp))
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def interpolate_pairs(
     flow_params,
     interp_params,
@@ -88,6 +91,7 @@ def interpolate_pairs(
     compute_dtype=jnp.bfloat16,
     use_pallas_warp: bool = False,
     warp_max_disp: int = 32,
+    use_s2d: bool = False,
     flow_out: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Interpolate U intermediate frames for each pair in the batch.
@@ -107,8 +111,9 @@ def interpolate_pairs(
     t=(i+0.5)/U between each pair (the reference's half-sample offset,
     slomo.py:405).
     """
+    unet = unet_apply_s2d if use_s2d else unet_apply
     if flow_out is None:
-        flow_out = unet_apply(
+        flow_out = unet(
             flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
         )
     F01 = flow_out[:, :2]
@@ -154,7 +159,7 @@ def interpolate_pairs(
         # cast each part to the compute dtype BEFORE the concat: the casts
         # fuse into the producers and the 12-channel stack materializes at
         # half the bytes (the f32 concat was ~30 ms/group on v5e)
-        intrp = unet_apply(
+        intrp = unet(
             interp_params,
             jnp.concatenate(
                 [
@@ -249,6 +254,7 @@ class SuperSloMo:
         warp_max_disp: int = 32,
         max_out_frames: int = 4096,
         allow_random: bool = False,
+        use_s2d: Optional[bool] = None,
     ):
         if not auto_upsample and (
             not isinstance(upsampling_factor, int) or upsampling_factor < 2
@@ -273,6 +279,12 @@ class SuperSloMo:
             use_pallas_warp = jax.default_backend() == "tpu"
         self.use_pallas_warp = use_pallas_warp
         self.warp_max_disp = warp_max_disp
+        if use_s2d is None:
+            # space-to-depth UNet: moves the low-channel full-res convs
+            # onto the MXU (XLA:TPU's loop-fusion conv emitter runs them at
+            # <10% MFU); numerically equal, so default on for TPU
+            use_s2d = jax.default_backend() == "tpu"
+        self.use_s2d = use_s2d
         # bound on materialized interpolated frames per device call: at the
         # Colab-scale ~800x upsampling (reference README.md:38-41) a full
         # batch would be GBs, so pairs are emitted in slices
@@ -342,7 +354,8 @@ class SuperSloMo:
         h32, w32 = snap32(H), snap32(W)
         x = preprocess_frames(frames, h32, w32)
         I0, I1 = x[:-1], x[1:]
-        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype)
+        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype,
+                                self.use_s2d)
         U = self.choose_upsampling(flow_out)
         # in auto mode U tracks the max flow magnitude: widen the warp
         # window with it so fast-motion chunks use the large-displacement
@@ -368,7 +381,7 @@ class SuperSloMo:
                 self.flow_params, self.interp_params,
                 I0[s : s + pair_slice], I1[s : s + pair_slice], U,
                 self.max_group, self.compute_dtype,
-                self.use_pallas_warp, max_disp,
+                self.use_pallas_warp, max_disp, self.use_s2d,
                 flow_out=flow_out[s : s + pair_slice],
             )
             yield postprocess_frames(interp, H, W, quantize), s
@@ -380,7 +393,8 @@ class SuperSloMo:
         h32, w32 = snap32(H), snap32(W)
         x = preprocess_frames(frames, h32, w32)
         I0, I1 = x[:-1], x[1:]
-        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype)
+        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype,
+                                self.use_s2d)
         U = self.choose_upsampling(flow_out)
         max_disp = self.warp_max_disp
         if self.auto_upsample and U > max_disp:

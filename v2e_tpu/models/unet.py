@@ -98,9 +98,14 @@ def _lrelu(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _avg_pool2_nhwc(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.reduce_window(
-        x, jnp.asarray(0.0, x.dtype), jax.lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    ) * jnp.asarray(0.25, x.dtype)
+    # reshape-mean, not lax.reduce_window: identical values, and
+    # reduce_window's reverse-mode rule fails under shard_map (the sharded
+    # train step linearizes this op — parallel/dryrun.py)
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    s = (x[:, :, 0] + x[:, :, 1])
+    s = s[:, :, :, 0] + s[:, :, :, 1]
+    return s * jnp.asarray(0.25, x.dtype)
 
 
 def _upsample2_nhwc(x: jnp.ndarray) -> jnp.ndarray:

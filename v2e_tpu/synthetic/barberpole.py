@@ -65,6 +65,20 @@ class barberpole(base_synthetic_input):
     def total_frames(self) -> int:
         return len(self.times)
 
+    def device_frames(self, times: np.ndarray):
+        """Render a chunk on device (pixel-exact, synthetic/device.py)."""
+        import jax.numpy as jnp
+
+        from v2e_tpu.synthetic.device import barberpole_frames
+
+        self.frame_number += len(times)
+        return barberpole_frames(
+            jnp.asarray(times), self.width, self.height,
+            float(self.contrast), float(self.speed_pps),
+            int(self.num_stripes), float(self.bb_width),
+            float(self.bb_height), float(self.bb_angle), float(self.bg),
+        )
+
     def _stripes(self, t: float) -> np.ndarray:
         wavelength = (self.bb_width * self.width) / self.num_stripes
         low = (self.bg * 2) / (self.contrast + 1)

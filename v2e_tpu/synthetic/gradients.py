@@ -47,6 +47,19 @@ class gradients(base_synthetic_input):
     def total_frames(self) -> int:
         return len(self.times)
 
+    def device_frames(self, times: np.ndarray):
+        """Render a chunk on device (pixel-exact, synthetic/device.py)."""
+        import jax.numpy as jnp
+
+        from v2e_tpu.synthetic.device import gradients_frames
+
+        self.frame_number += len(times)
+        return gradients_frames(
+            jnp.asarray(times), self.width, self.height,
+            float(self.contrast), float(self.speed_pps),
+            float(self.bump_width), float(self.bg),
+        )
+
     def _image(self, t: float) -> np.ndarray:
         low = (self.bg * 2) / (self.contrast + 1)
         high = self.contrast * low

@@ -73,6 +73,20 @@ class moving_dot(base_synthetic_input):
     def total_frames(self) -> int:
         return len(self.times)
 
+    def device_frames(self, times: np.ndarray):
+        """Render a chunk of frames on device (pixel-exact, see
+        synthetic/device.py::moving_dot_frames + test_device_synthetic)."""
+        import jax.numpy as jnp
+
+        from v2e_tpu.synthetic.device import moving_dot_frames
+
+        self.frame_number += len(times)
+        return moving_dot_frames(
+            jnp.asarray(times), self.width, self.height, self.num_dots,
+            float(self.contrast), float(self.bg), float(self.radius),
+            float(self.speed_pps), float(self.dot_sigma),
+        )
+
     def next_frame(self) -> Tuple[Optional[np.ndarray], float]:
         if self.frame_number >= len(self.times):
             logger.info(f"finished after {self.frame_number} frames")

@@ -98,17 +98,10 @@ class particles(base_synthetic_input):
     def total_frames(self) -> int:
         return len(self.times)
 
-    def next_frame(self) -> Tuple[Optional[np.ndarray], float]:
-        if self.frame_number >= len(self.times):
-            logger.info(
-                f"finished after {self.frame_number} frames, "
-                f"{self.particle_count:,} particles made"
-            )
-            return None, float(self.times[-1])
-        t = float(self.times[self.frame_number])
+    def _advance_to(self, t: float) -> None:
+        """Step walker dynamics to time t (move, respawn out-of-bounds)."""
         dt = t - self.time
         self.time = t
-
         self.pos += dt * self.vel
         oob = (
             (self.pos[:, 0] < 0)
@@ -118,6 +111,40 @@ class particles(base_synthetic_input):
         )
         for i in np.flatnonzero(oob):
             self._spawn(i)
+
+    def trajectory(self, times: np.ndarray) -> np.ndarray:
+        """Advance the dynamics over `times`, returning the per-frame
+        particle centers [F, P, 2] — the host half of the device-rendered
+        path (see synthetic/device.py::particles_frames)."""
+        out = np.empty((len(times), self.num_particles, 2), dtype=np.float32)
+        for k, t in enumerate(times):
+            self._advance_to(float(t))
+            out[k] = self.pos
+        return out
+
+    def device_frames(self, times: np.ndarray):
+        """Render a chunk on device from host-computed trajectories."""
+        import jax.numpy as jnp
+
+        from v2e_tpu.synthetic.device import particles_frames
+
+        centers = self.trajectory(times)
+        self.frame_number += len(times)
+        return particles_frames(
+            jnp.asarray(centers), self.width, self.height,
+            float(self.fg), float(self.bg), float(self.radius), 2.0,
+            int(self.radius * 2) + 1,
+        )
+
+    def next_frame(self) -> Tuple[Optional[np.ndarray], float]:
+        if self.frame_number >= len(self.times):
+            logger.info(
+                f"finished after {self.frame_number} frames, "
+                f"{self.particle_count:,} particles made"
+            )
+            return None, float(self.times[-1])
+        t = float(self.times[self.frame_number])
+        self._advance_to(t)
 
         pix = np.full((self.height, self.width), self.bg, dtype=np.float32)
         d = int(self.radius * 2) + 1

@@ -34,6 +34,21 @@ class single_linearly_moving_dot(base_synthetic_input):
     def total_frames(self) -> int:
         return len(self.times)
 
+    def device_frames(self, times: np.ndarray):
+        """Render a chunk on device (pixel-exact, synthetic/device.py)."""
+        import jax.numpy as jnp
+
+        from v2e_tpu.synthetic.device import (
+            single_linearly_moving_dot_frames,
+        )
+
+        self.frame_number += len(times)
+        return single_linearly_moving_dot_frames(
+            jnp.asarray(times), self.width, self.height,
+            float(self.contrast), float(self.bg), float(self.dot_sigma),
+            float(self.speed_pps),
+        )
+
     def next_frame(self) -> Tuple[Optional[np.ndarray], float]:
         if self.frame_number >= len(self.times):
             logger.info(f"finished after {self.frame_number} frames")

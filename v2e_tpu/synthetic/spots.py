@@ -48,6 +48,19 @@ class spots(base_synthetic_input):
     def total_frames(self) -> int:
         return len(self.times)
 
+    def device_frames(self, times: np.ndarray):
+        """Render a chunk on device (pixel-exact, synthetic/device.py)."""
+        import jax.numpy as jnp
+
+        from v2e_tpu.synthetic.device import spots_frames
+
+        self.frame_number += len(times)
+        return spots_frames(
+            jnp.asarray(times), self.width, self.height,
+            float(self.contrast), float(self.t_total), float(self.freq),
+            float(self.radius), float(self.bg),
+        )
+
     def _draw(self, t: float) -> np.ndarray:
         gray = self.bg
         bright = gray * self.contrast
