@@ -31,7 +31,21 @@ def main(argv=None) -> int:
     p.add_argument("--thres_high", type=float, default=1.0)
     p.add_argument("--max_iter", type=int, default=12)
     p.add_argument("--rotate180", type=lambda s: s.lower() != "false", default=True)
+    # emulator knobs forwarded to the probe runs (reference runs the full
+    # v2e CLI per probe and inherits its noise defaults; exposing these
+    # lets calibration run with noise disabled for a sharper match)
+    p.add_argument("--cutoff_hz", type=float, default=None)
+    p.add_argument("--leak_rate_hz", type=float, default=None)
+    p.add_argument("--shot_noise_rate_hz", type=float, default=None)
+    p.add_argument("--sigma_thres", type=float, default=None)
     args = p.parse_args(argv)
+
+    em_kw = {
+        k: getattr(args, k)
+        for k in ("cutoff_hz", "leak_rate_hz", "shot_noise_rate_hz",
+                  "sigma_thres")
+        if getattr(args, k) is not None
+    }
 
     from v2e_tpu.analysis import estimate_thresholds
     from v2e_tpu.io.ddd import DDD20SimpleReader
@@ -55,6 +69,7 @@ def main(argv=None) -> int:
         thres_low=args.thres_low,
         thres_high=args.thres_high,
         max_iter=args.max_iter,
+        **em_kw,
     )
     print(f"pos_thres={pos:.4f} neg_thres={neg:.4f}")
     return 0

@@ -232,3 +232,106 @@ class TestDDDTools:
         assert rc == 0
         import os
         assert os.path.getsize(out) > 1000
+
+    def test_ddd_find_thresholds_tool(self, tmp_path, capsys):
+        """The calibration CLI must recover a known threshold: 'real' DVS
+        counts are generated by our own emulator at thres 0.3 and embedded
+        in a synthetic DDD recording (reference
+        dataset_scripts/ddd/ddd_find_thresholds.py)."""
+        import h5py
+
+        from v2e_tpu.emulator import EventEmulator
+        from v2e_tpu.io.ddd import DDD20SimpleReader
+
+        rng = np.random.default_rng(3)
+        F = 6
+        times_us = (1_000_000 + np.arange(F) * 33_000).astype(np.int64)
+        vals = np.clip(
+            128 * np.exp(np.cumsum(rng.normal(0, 0.12, (F, H, W)), axis=0)),
+            1, 255,
+        ).astype(np.uint8)
+
+        path = str(tmp_path / "rec.hdf5")
+        rows = [frame_packet(int(t), v.astype(np.uint16) * 256)
+                for t, v in zip(times_us, vals)]
+        # placeholder polarity packet; real counts appended after measuring
+        with h5py.File(path, "w") as f:
+            dt = h5py.special_dtype(vlen=np.dtype("uint8"))
+            # reserve one extra row for the events packet
+            ds = f.create_dataset("dvs/data", shape=(len(rows) + 1, 3), dtype=dt)
+            for i, (hdr, payload) in enumerate(rows):
+                ds[i, 0] = np.frombuffer(struct.pack("<q", i), dtype=np.uint8)
+                ds[i, 1] = np.frombuffer(hdr, dtype=np.uint8)
+                ds[i, 2] = np.frombuffer(payload, dtype=np.uint8)
+            # measure the emulator at the true threshold on the frames as
+            # the reader will decode them
+            em = EventEmulator(pos_thres=0.3, neg_thres=0.3, sigma_thres=0.0,
+                               leak_rate_hz=0.0, cutoff_hz=0.0,
+                               shot_noise_rate_hz=0.0, seed=42)
+            em.generate_events_batch(
+                vals.astype(np.float32), times_us.astype(np.float64) / 1e6
+            )
+            n_on, n_off = int(em.num_events_on), int(em.num_events_off)
+            assert n_on > 100 and n_off > 100
+            evs = [(1_010_000 + k, 10 + (k % 300), 20 + (k % 200), 1)
+                   for k in range(n_on)]
+            evs += [(1_020_000 + k, 11 + (k % 300), 21 + (k % 200), 0)
+                    for k in range(n_off)]
+            hdr, payload = polarity_packet(evs)
+            i = len(rows)
+            ds[i, 0] = np.frombuffer(struct.pack("<q", i), dtype=np.uint8)
+            ds[i, 1] = np.frombuffer(hdr, dtype=np.uint8)
+            ds[i, 2] = np.frombuffer(payload, dtype=np.uint8)
+
+        from dataset_tools.ddd_find_thresholds import main
+
+        rc = main([
+            "-i", path, "--rotate180", "false", "--max_iter", "7",
+            "--cutoff_hz", "0", "--leak_rate_hz", "0",
+            "--shot_noise_rate_hz", "0", "--sigma_thres", "0",
+        ])
+        assert rc == 0
+        line = [l for l in capsys.readouterr().out.splitlines()
+                if l.startswith("pos_thres=")][0]
+        pos = float(line.split()[0].split("=")[1])
+        neg = float(line.split()[1].split("=")[1])
+        assert abs(pos - 0.3) < 0.1
+        assert abs(neg - 0.3) < 0.1
+
+
+class TestBatchConvert:
+    def test_two_video_tree(self, tmp_path):
+        """batch_convert walks a directory tree and mirrors it in the output
+        (reference dataset_scripts/ucf101/produce_dvs_dataset.py flow)."""
+        import cv2
+
+        rng = np.random.default_rng(0)
+        for sub, name in (("classA", "v1"), ("classB", "v2")):
+            d = tmp_path / "in" / sub
+            d.mkdir(parents=True, exist_ok=True)
+            vw = cv2.VideoWriter(
+                str(d / f"{name}.avi"), cv2.VideoWriter_fourcc(*"XVID"),
+                30, (48, 36), False,
+            )
+            base = rng.integers(50, 200, (36, 48), dtype=np.uint8)
+            for i in range(8):
+                fr = np.roll(base, i * 2, axis=1)
+                vw.write(fr)
+            vw.release()
+
+        from dataset_tools.batch_convert import main
+
+        rc = main([
+            "-i", str(tmp_path / "in"), "-o", str(tmp_path / "out"),
+            "--disable_slomo", "--dvs_h5", "events.h5",
+            "--output_width", "48", "--output_height", "36",
+            "--dvs_params", "clean",
+        ])
+        assert rc == 0
+        import h5py
+
+        for sub, name in (("classA", "v1"), ("classB", "v2")):
+            h5 = tmp_path / "out" / sub / name / "events.h5"
+            assert h5.exists()
+            with h5py.File(h5, "r") as f:
+                assert f["events"].shape[0] > 0

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from v2e_tpu.emulator.config import EmulatorConfig
 from v2e_tpu.emulator.core import emulate_chunk
@@ -98,3 +99,51 @@ class TestFastPathParity:
     def test_scidvs(self):
         self._compare(dict(sigma_thres=0.0, leak_rate_hz=0.0, cutoff_hz=50.0,
                            scidvs=True))
+
+
+class TestNativeSparseMaterialize:
+    def _mk(self, seed=0, F=5, H=30, W=40, with_shot=True):
+        rng = np.random.default_rng(seed)
+        HW = H * W
+        # sorted occupied cells across frames
+        n = 300
+        idx = np.sort(rng.choice(F * HW, size=n, replace=False)).astype(np.int32)
+        count = rng.integers(-4, 5, n).astype(np.int16)
+        shot = rng.integers(0, 4, n).astype(np.uint8) if with_shot else None
+        if shot is None:
+            # drop empty entries only when they carry no shot bit either
+            keep = count != 0
+            idx, count = idx[keep], count[keep]
+        i0 = rng.integers(0, 2, len(idx)).astype(np.int16)
+        stride = rng.integers(1, 3, F).astype(np.int64)
+        K = rng.integers(0, 6, F).astype(np.int64)
+        t_prev = (np.arange(F) * 0.01).astype(np.float32)
+        t_frame = t_prev + 0.01
+        return idx, count, i0, shot, stride, K, t_prev, t_frame, H, W
+
+    @pytest.mark.parametrize("with_shot", [True, False])
+    @pytest.mark.parametrize("shuffle", [False, True])
+    def test_native_matches_numpy(self, with_shot, shuffle):
+        """The C++ chunk materializer must be bit-identical to the numpy
+        path — including the shuffled case, where both draw the same
+        tie-break keys from identically seeded generators."""
+        from unittest import mock
+
+        from v2e_tpu.emulator import events as ev_mod
+        from v2e_tpu.native import get_lib
+
+        if get_lib() is None:
+            pytest.skip("native kernels unavailable")
+        args = self._mk(with_shot=with_shot)
+        rng_a = np.random.default_rng(7) if shuffle else None
+        rng_b = np.random.default_rng(7) if shuffle else None
+        a = ev_mod.materialize_events_sparse(
+            *args, 100.0, rng=rng_a, label_signal_noise=True
+        )
+        with mock.patch.object(ev_mod, "get_lib", lambda: None):
+            b = ev_mod.materialize_events_sparse(
+                *args, 100.0, rng=rng_b, label_signal_noise=True
+            )
+        np.testing.assert_array_equal(a[0], b[0])
+        np.testing.assert_array_equal(a[1], b[1])
+        np.testing.assert_array_equal(a[2], b[2])

@@ -660,6 +660,66 @@ def _emulate_chunk_fast(
         )
         return new_state, outs
 
+    if (
+        cfg.use_pallas_scan
+        and cfg.refractory_period_s > 0
+        and not cfg.scidvs
+        and jax.default_backend() == "tpu"
+    ):
+        from v2e_tpu.ops.pallas.emulator_scan import (
+            emulator_scan_refractory_pallas,
+            refractory_plane_ok,
+        )
+
+        if refractory_plane_ok(*shape):
+            lp_eff = lp + pr_noise if cfg.photoreceptor_noise else lp
+            shot_any = (shot_on | shot_off) if cfg.simple_shot_noise else None
+            new_base, new_mem, signed16, i0_16, K_arr = (
+                emulator_scan_refractory_pallas(
+                    lp_eff, leak_delta, shot_any,
+                    params.pos_thres, params.neg_thres,
+                    state.base_log_frame, state.timestamp_mem,
+                    dts, t_prevs, float(cfg.refractory_period_s),
+                )
+            )
+            # per-frame stride from K, same formula as refractory_filter
+            ts_step = jnp.maximum(dts, 1e-12) / jnp.maximum(K_arr, 1).astype(
+                jnp.float32
+            )
+            active = jnp.float32(cfg.refractory_period_s) > ts_step
+            m = (jnp.floor(cfg.refractory_period_s / ts_step) + 1.0).astype(
+                jnp.int32
+            )
+            outs = {
+                "ev_count": signed16,
+                "i0": i0_16,
+                "stride": jnp.where(active, m, 1),
+                "K": K_arr,
+            }
+            num_on = jnp.sum(
+                jnp.maximum(signed16.astype(jnp.int32), 0), axis=(1, 2)
+            )
+            num_off = jnp.sum(
+                jnp.maximum(-signed16.astype(jnp.int32), 0), axis=(1, 2)
+            )
+            if cfg.simple_shot_noise:
+                num_on = num_on + jnp.sum(shot_on, axis=(1, 2))
+                num_off = num_off + jnp.sum(shot_off, axis=(1, 2))
+                outs["shot_on"] = shot_on
+                outs["shot_off"] = shot_off
+            outs.update(
+                t_prev=t_prevs, t_frame=times, num_on=num_on, num_off=num_off
+            )
+            new_state = state.replace(
+                base_log_frame=new_base,
+                lp_log_frame=lp[-1],
+                photoreceptor_noise_arr=pr_last,
+                timestamp_mem=new_mem,
+                t_prev=times[-1],
+                step_idx=state.step_idx + F,
+            )
+            return new_state, outs
+
     def body(carry, inp):
         base, mem, hp, lp_prev = carry
         lp_f, pr_f, leak_f, s_on, s_off, dt, t, t_prev = inp

@@ -214,6 +214,49 @@ def materialize_events_sparse(
     t0_64 = t_origin + t_prev.astype(np.float64)
     tf_64 = t_origin + t_frame.astype(np.float64)
 
+    lib = get_lib()
+    if lib is not None:
+        # single-pass C++ expansion+sort (bit-identical to the numpy path
+        # below, incl. shuffle: rand tie-break keys are pre-drawn with the
+        # same generator in the same event order)
+        cc_n = np.abs(count.astype(np.int64))
+        total_n = int(cc_n.sum())
+        if shot is not None:
+            total_n += int(np.count_nonzero(shot & 1))
+            total_n += int(np.count_nonzero(shot & 2))
+        if total_n == 0:
+            empty = np.empty((0, 4), dtype=np.float64)
+            lab = np.empty(0, dtype=bool) if label_signal_noise else None
+            return empty, lab, np.zeros(F + 1, dtype=np.int64)
+        rand_keys = rng.random(total_n) if rng is not None else None
+        events = np.empty((total_n, 4), dtype=np.float64)
+        lab_u8 = (
+            np.empty(total_n, dtype=np.uint8) if label_signal_noise else None
+        )
+        offsets = np.zeros(F + 1, dtype=np.int64)
+        shot_u8 = (
+            np.ascontiguousarray(shot, dtype=np.uint8)
+            if shot is not None else None
+        )
+        n = lib.materialize_sparse(
+            np.ascontiguousarray(idx, dtype=np.int32),
+            np.ascontiguousarray(count, dtype=np.int16),
+            np.ascontiguousarray(i0, dtype=np.int16),
+            shot_u8.ctypes.data if shot_u8 is not None else None,
+            int(idx.shape[0]),
+            np.ascontiguousarray(stride, dtype=np.int64),
+            np.ascontiguousarray(K, dtype=np.int64),
+            t0_64, tf_64, s64,
+            F, H, W,
+            rand_keys.ctypes.data if rand_keys is not None else None,
+            events.reshape(-1),
+            lab_u8.ctypes.data if lab_u8 is not None else None,
+            offsets,
+        )
+        assert n == total_n, (n, total_n)
+        lab = lab_u8.astype(bool) if lab_u8 is not None else None
+        return events, lab, offsets
+
     frame_of = idx // HW
     pix = idx % HW
     cc = np.abs(count.astype(np.int64))

@@ -84,6 +84,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.materialize_frame.restype = i64
         lib.count_frame_events.argtypes = [p_i16, i64, ctypes.c_void_p, ctypes.c_void_p]
         lib.count_frame_events.restype = i64
+        lib.materialize_sparse.argtypes = [
+            p_i32, p_i16, p_i16, ctypes.c_void_p, i64,
+            p_i64, p_i64, p_f64, p_f64, p_f64,
+            i64, i64, i64,
+            ctypes.c_void_p, p_f64, ctypes.c_void_p, p_i64,
+        ]
+        lib.materialize_sparse.restype = i64
         lib.pack_aedat2.argtypes = [
             p_f64, i64, i64, i64, i64, i64, i64, ctypes.c_int32,
             ctypes.c_void_p, p_i32,

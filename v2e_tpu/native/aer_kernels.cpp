@@ -181,4 +181,131 @@ void pack_aedat2(const double* events, int64_t n,
   }
 }
 
+
+// Expand device-compacted sparse entries into time-ordered AER events for a
+// whole chunk (the native version of events.py::materialize_events_sparse;
+// semantics documented there, reference hot loop emulator.py:830-886).
+//
+// Entries arrive sorted by flat cell index (frame-major).  Events of one
+// frame are filled in the same order the numpy path concatenates them
+// (signal in entry order, then shot-ON, then shot-OFF) and stably sorted by
+// (iteration, kind[, rand_key]) — exactly np.lexsort's key order — so the
+// output is bit-identical to the numpy path, including the shuffled case
+// when the caller pre-draws rand_keys with the same generator.
+struct SparseEv {
+  int64_t it;
+  int32_t pix;
+  int8_t sub;   // 0 signal, 1 shot-on, 2 shot-off
+  int8_t pol;   // +1 / -1
+  double key;   // random tie-break (0 when not shuffling)
+};
+
+int64_t materialize_sparse(
+    const int32_t* idx, const int16_t* count, const int16_t* i0,
+    const uint8_t* shot,            // may be null
+    int64_t n_entries,
+    const int64_t* stride, const int64_t* K,             // [F]
+    const double* t0, const double* tf, const double* s, // [F]
+    int64_t F, int64_t H, int64_t W,
+    const double* rand_keys,        // null or [total]
+    double* events,                 // [total,4]
+    uint8_t* labels,                // null or [total]
+    int64_t* offsets) {             // [F+1]
+  const int64_t HW = H * W;
+  // pass 1: per-frame totals
+  int64_t* per_frame = new int64_t[F]();
+  int64_t total_sig = 0, total_son = 0;
+  for (int64_t e = 0; e < n_entries; ++e) {
+    int64_t fr = idx[e] / HW;
+    if (fr < 0 || fr >= F) continue;
+    int16_t c = count[e];
+    int64_t cc = c > 0 ? c : -c;
+    per_frame[fr] += cc;
+    total_sig += cc;
+    if (shot) {
+      if (shot[e] & 1) { ++per_frame[fr]; ++total_son; }
+      if (shot[e] & 2) { ++per_frame[fr]; }
+    }
+  }
+  offsets[0] = 0;
+  for (int64_t f = 0; f < F; ++f) offsets[f + 1] = offsets[f] + per_frame[f];
+  const int64_t total = offsets[F];
+  // pass 2: fill per-frame segments in numpy concatenation order
+  SparseEv* buf = new SparseEv[total];
+  int64_t* cur = per_frame;  // reuse as write cursors
+  for (int64_t f = 0; f < F; ++f) cur[f] = offsets[f];
+  int64_t g = 0;  // global rand-key index (signal block)
+  for (int64_t e = 0; e < n_entries; ++e) {
+    int64_t fr = idx[e] / HW;
+    if (fr < 0 || fr >= F) continue;
+    int16_t c = count[e];
+    if (c == 0) continue;
+    int64_t cc = c > 0 ? c : -c;
+    int32_t pix = (int32_t)(idx[e] % HW);
+    int8_t pol = c > 0 ? 1 : -1;
+    int64_t first = i0[e];
+    int64_t st = stride[fr];
+    for (int64_t j = 0; j < cc; ++j) {
+      SparseEv& ev = buf[cur[fr]++];
+      ev.it = first + j * st;
+      ev.pix = pix;
+      ev.sub = 0;
+      ev.pol = pol;
+      ev.key = rand_keys ? rand_keys[g] : 0.0;
+      ++g;
+    }
+  }
+  if (shot) {
+    int64_t g_on = total_sig, g_off = total_sig + total_son;
+    for (int pass = 0; pass < 2; ++pass) {
+      uint8_t bit = pass == 0 ? 1 : 2;
+      int8_t sub = pass == 0 ? 1 : 2;
+      int8_t pol = pass == 0 ? 1 : -1;
+      int64_t* gp = pass == 0 ? &g_on : &g_off;
+      for (int64_t e = 0; e < n_entries; ++e) {
+        if (!(shot[e] & bit)) continue;
+        int64_t fr = idx[e] / HW;
+        if (fr < 0 || fr >= F) continue;
+        SparseEv& ev = buf[cur[fr]++];
+        ev.it = K[fr] > 1 ? K[fr] : 1;  // one past the signal grid
+        ev.pix = (int32_t)(idx[e] % HW);
+        ev.sub = sub;
+        ev.pol = pol;
+        ev.key = rand_keys ? rand_keys[*gp] : 0.0;
+        ++(*gp);
+      }
+    }
+  }
+  // pass 3: per-frame stable sort by (it, sub[, key]) and emit
+  for (int64_t f = 0; f < F; ++f) {
+    SparseEv* a = buf + offsets[f];
+    SparseEv* b = buf + offsets[f + 1];
+    if (rand_keys) {
+      std::stable_sort(a, b, [](const SparseEv& l, const SparseEv& r) {
+        if (l.it != r.it) return l.it < r.it;
+        if (l.sub != r.sub) return l.sub < r.sub;
+        return l.key < r.key;
+      });
+    } else {
+      std::stable_sort(a, b, [](const SparseEv& l, const SparseEv& r) {
+        if (l.it != r.it) return l.it < r.it;
+        return l.sub < r.sub;
+      });
+    }
+    double t0f = t0[f], sf = s[f], tff = tf[f];
+    for (int64_t i = offsets[f]; i < offsets[f + 1]; ++i) {
+      const SparseEv& ev = buf[i];
+      double* o = events + 4 * i;
+      o[0] = ev.sub == 0 ? t0f + (double)(ev.it + 1) * sf : tff;
+      o[1] = (double)(ev.pix % W);
+      o[2] = (double)(ev.pix / W);
+      o[3] = (double)ev.pol;
+      if (labels) labels[i] = ev.sub == 0 ? 1 : 0;
+    }
+  }
+  delete[] buf;
+  delete[] per_frame;
+  return total;
+}
+
 }  // extern "C"
