@@ -75,3 +75,28 @@ class TestFullUNet:
         want = np.asarray(unet_apply(params, x))
         got = np.asarray(unet_apply_s2d(params, x))
         np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)
+
+
+class TestConvS2dEmbedded:
+    @pytest.mark.parametrize("k,ci,co", [(7, 12, 32), (7, 32, 32), (3, 64, 32), (3, 32, 5)])
+    def test_embedded_conv_block_equivalence(self, k, ci, co):
+        from v2e_tpu.models.unet import _conv_block
+        from v2e_tpu.models.unet_s2d import conv_s2d_block_embedded
+
+        rng = np.random.default_rng(k * 100 + ci + 1)
+        p = {
+            "w": jnp.asarray(rng.normal(size=(co, ci, k, k)).astype(np.float32) * 0.1),
+            "b": jnp.asarray(rng.normal(size=(co,)).astype(np.float32)),
+        }
+        x = jnp.asarray(rng.normal(size=(2, 16, 24, ci)).astype(np.float32))
+        want = _conv_block(x, p)
+        got = d2s_nhwc(conv_s2d_block_embedded(s2d_nhwc(x), p))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_full_unet_embedded(self):
+        spec = UNetSpec(12, 5)
+        params = init_unet(jax.random.key(1), spec)
+        x = rnd((1, 12, 64, 96), 9)
+        want = np.asarray(unet_apply(params, x))
+        got = np.asarray(unet_apply_s2d(params, x, embedded=True))
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-4)

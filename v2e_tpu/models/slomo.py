@@ -60,13 +60,23 @@ def snap32(x: int) -> int:
     return max(32, int(x / 32) * 32)
 
 
+def _unet_impl(use_s2d):
+    """Resolve the UNet forward for a (static) s2d mode: False -> dense,
+    True -> 4-conv phase form, "embedded" -> single phase-embedded conv."""
+    if not use_s2d:
+        return unet_apply
+    if use_s2d == "embedded":
+        return functools.partial(unet_apply_s2d, embedded=True)
+    return unet_apply_s2d
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def compute_flow(
     flow_params, I0: jnp.ndarray, I1: jnp.ndarray, compute_dtype=jnp.bfloat16,
     use_s2d: bool = False,
 ) -> jnp.ndarray:
     """Run the flow UNet on a batch of normalized pairs. Returns [B,4,h,w]."""
-    apply = unet_apply_s2d if use_s2d else unet_apply
+    apply = _unet_impl(use_s2d)
     return apply(
         flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
     )
@@ -111,7 +121,7 @@ def interpolate_pairs(
     t=(i+0.5)/U between each pair (the reference's half-sample offset,
     slomo.py:405).
     """
-    unet = unet_apply_s2d if use_s2d else unet_apply
+    unet = _unet_impl(use_s2d)
     if flow_out is None:
         flow_out = unet(
             flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
@@ -255,6 +265,7 @@ class SuperSloMo:
         max_out_frames: int = 4096,
         allow_random: bool = False,
         use_s2d: Optional[bool] = None,
+        adaptive_disp: bool = True,
     ):
         if not auto_upsample and (
             not isinstance(upsampling_factor, int) or upsampling_factor < 2
@@ -279,11 +290,14 @@ class SuperSloMo:
             use_pallas_warp = jax.default_backend() == "tpu"
         self.use_pallas_warp = use_pallas_warp
         self.warp_max_disp = warp_max_disp
+        # flow-bucketed warp windows (see _choose_disp); per-bucket compiles
+        self.adaptive_disp = adaptive_disp
         if use_s2d is None:
-            # space-to-depth UNet: moves the low-channel full-res convs
-            # onto the MXU (XLA:TPU's loop-fusion conv emitter runs them at
-            # <10% MFU); numerically equal, so default on for TPU
-            use_s2d = jax.default_backend() == "tpu"
+            # space-to-depth UNet: moves the low-channel full-res convs onto
+            # the MXU, but the 1.31-1.78x MAC overhead + 4-phase dispatch
+            # measured SLOWER end-to-end on v5e (416 vs 316 ms per 160-frame
+            # interp chunk), so it stays opt-in
+            use_s2d = False
         self.use_s2d = use_s2d
         # bound on materialized interpolated frames per device call: at the
         # Colab-scale ~800x upsampling (reference README.md:38-41) a full
@@ -337,6 +351,28 @@ class SuperSloMo:
             return float(self.upsampling_factor or 0)
         return self.upsampling_sum / self.upsampling_samples
 
+    DISP_BUCKETS = (8, 16, 32)
+
+    def _choose_disp(self, flow_out: jnp.ndarray, U: int) -> int:
+        """Pick the warp kernel's displacement window for this chunk.
+
+        The one-hot-matmul warp kernel's cost scales with its supported
+        window M (region rows ~ 2M+8); real inter-frame flows are usually a
+        few pixels, so M is bucketed from the chunk's measured max flow
+        (1.25x + 2 px headroom for the refinement UNet's flow deltas) —
+        same one-scalar host fetch auto-upsample mode already pays.  The
+        bucket never exceeds flow magnitude, so nothing is clamped that the
+        static window would not also clamp."""
+        max_disp = self.warp_max_disp
+        if self.auto_upsample and U > max_disp:
+            return U  # flow beyond the static cap: widen (tiled kernel)
+        if self.use_pallas_warp and self.adaptive_disp:
+            need = float(max_flow_speed(flow_out)) * 1.25 + 2.0
+            for b in self.DISP_BUCKETS:
+                if need <= b <= max_disp:
+                    return b
+        return max_disp
+
     def interpolate_batch(
         self, frames: jnp.ndarray, H: int, W: int, quantize: bool = True
     ) -> Tuple[jnp.ndarray, int]:
@@ -357,12 +393,7 @@ class SuperSloMo:
         flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype,
                                 self.use_s2d)
         U = self.choose_upsampling(flow_out)
-        # in auto mode U tracks the max flow magnitude: widen the warp
-        # window with it so fast-motion chunks use the large-displacement
-        # tiled kernel instead of clamping (U buckets bound the compiles)
-        max_disp = self.warp_max_disp
-        if self.auto_upsample and U > max_disp:
-            max_disp = U
+        max_disp = self._choose_disp(flow_out, U)
 
         slices = [
             s for s, _ in self._emit_slices(I0, I1, flow_out, U, max_disp, H, W, quantize)
@@ -396,9 +427,7 @@ class SuperSloMo:
         flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype,
                                 self.use_s2d)
         U = self.choose_upsampling(flow_out)
-        max_disp = self.warp_max_disp
-        if self.auto_upsample and U > max_disp:
-            max_disp = U
+        max_disp = self._choose_disp(flow_out, U)
         return U, self._emit_slices(I0, I1, flow_out, U, max_disp, H, W, quantize)
 
     # ------------------------------------------------------------------

@@ -198,19 +198,24 @@ def conv_s2d_block(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def unet_apply_s2d(params: Params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+def unet_apply_s2d(
+    params: Params, x: jnp.ndarray, compute_dtype=None, embedded: bool = False
+) -> jnp.ndarray:
     """Forward pass equal to `unet_apply`, full-res stages in phase space.
 
     x: [N, in_ch, H, W] NCHW (H, W multiples of 32).  Returns NCHW output.
+    embedded: use the single phase-embedded conv per layer (4Co=128 MXU
+    output lanes, 2.04x MACs for k=7) instead of 4 per-phase convs.
     """
+    conv_s2d = conv_s2d_block_embedded if embedded else conv_s2d_block
     in_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     x = jnp.transpose(x, (0, 2, 3, 1))  # NHWC
 
     x4 = s2d_nhwc(x)
-    x4 = conv_s2d_block(x4, params["conv1"])
-    s1s = conv_s2d_block(x4, params["conv2"])  # s2d of skip s1
+    x4 = conv_s2d(x4, params["conv1"])
+    s1s = conv_s2d(x4, params["conv2"])  # s2d of skip s1
 
     # down1 consumes avgpool2(s1) == phase mean
     x = phase_mean(s1s)
@@ -235,9 +240,84 @@ def unet_apply_s2d(params: Params, x: jnp.ndarray, compute_dtype=None) -> jnp.nd
         )
     # up5 entirely in phase space: upsample fold + conv + skip concat + conv
     xu = upsample2_s2d(x)
-    x = conv_s2d_block(xu, params["up5.conv1"])
-    x = conv_s2d_block(phase_concat(x, s1s), params["up5.conv2"])
-    out = conv_s2d_block(x, params["conv3"])
+    x = conv_s2d(xu, params["up5.conv1"])
+    x = conv_s2d(phase_concat(x, s1s), params["up5.conv2"])
+    out = conv_s2d(x, params["conv3"])
     out = d2s_nhwc(out)
     out = jnp.transpose(out, (0, 3, 1, 2))
     return out.astype(in_dtype)
+
+
+# ---------------------------------------------------------------------------
+# single-conv phase embedding: all 4 output phases from ONE conv
+#
+# The 4-conv-per-layer form above keeps MAC overhead minimal (4x4 taps for
+# k=7) but each conv has only Co output channels — on the MXU that fills
+# 32/128 output lanes.  Embedding every phase kernel into the union tap
+# window gives one conv [Ku,Ku,4Ci,4Co]: 4Co=128 output lanes (full MXU
+# width) at the price of zero taps (k=7: 5x5 union vs 4x4 per-phase = 1.56x
+# more MACs; total 2.04x the dense conv's MACs).
+
+
+def _union_window(k: int):
+    """Union of the per-phase P-ranges for one axis; returns (Ku, Pmin)."""
+    lo = max(_s2d_index_map(k, a, 0)[1][0] for a in (0, 1))
+    hi = max(_s2d_index_map(k, a, 0)[1][1] for a in (0, 1))
+    return lo + hi + 1, lo
+
+
+def w_to_s2d_embedded(w: jnp.ndarray):
+    """OIHW [Co,Ci,k,k] -> one HWIO s2d kernel [Ku,Ku,4Ci,4Co] + padding.
+
+    Output channel layout is phase-major ((2a+b)*Co + co), matching
+    `phase_concat`/`s2d_nhwc`; taps of phase (a,b) land at union-window
+    offsets, everything else stays zero.
+    """
+    co, ci, k, _ = w.shape
+    Ku, Pshift = _union_window(k)
+    out = jnp.zeros((Ku * Ku * 4, ci, 4 * co), w.dtype)
+    slots = []
+    taps_all = []
+    ocol = []
+    for a in (0, 1):
+        for b in (0, 1):
+            Ks, pad_r, pad_c, rows, cols = _s2d_index_map(k, a, b)
+            for Pi, r, p in rows:
+                for Qi, s, q in cols:
+                    ph = 2 * r + s
+                    # per-phase index Pi is relative to its own pad; shift
+                    # into the union window
+                    Pu = Pi - pad_r[0] + Pshift
+                    Qu = Qi - pad_c[0] + Pshift
+                    slots.append((Pu * Ku + Qu) * 4 + ph)
+                    taps_all.append((p, q))
+                    ocol.append(2 * a + b)
+    ps = np.asarray([t[0] for t in taps_all])
+    qs = np.asarray([t[1] for t in taps_all])
+    slots = np.asarray(slots)
+    ophase = np.asarray(ocol)
+    taps = w[:, :, ps, qs]  # [Co,Ci,T]
+    taps = jnp.transpose(taps, (2, 1, 0))  # [T,Ci,Co]
+    out = out.at[
+        slots[:, None], :, ophase[:, None] * co + np.arange(co)[None, :]
+    ].set(jnp.transpose(taps, (0, 2, 1)))
+    out = out.reshape(Ku, Ku, 4 * ci, 4 * co)
+    return out, (Pshift, Ku - 1 - Pshift)
+
+
+def conv_s2d_block_embedded(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Same function as `conv_s2d_block` via ONE phase-embedded conv."""
+    w, bias = p["w"], p["b"]
+    co = w.shape[0]
+    wk, pad = w_to_s2d_embedded(w)
+    y = jax.lax.conv_general_dilated(
+        x,
+        wk.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=[pad, pad],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+    b4 = jnp.tile(bias, 4)
+    y = y + b4.astype(x.dtype)
+    return jnp.maximum(y, jnp.asarray(0.1, x.dtype) * y)
