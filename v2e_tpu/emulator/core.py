@@ -436,9 +436,10 @@ def compact_chunk(
         occ = occ | on | off
     # top_k-based stream compaction: the k smallest of (occupied ? iota :
     # total) are the occupied indices in ascending order, fill entries
-    # carry `total`.  TPU's TopK lowering is ~9x faster than a full
-    # lax.sort at multi-megapixel sizes (and ~3x faster than jnp.nonzero)
-    # with identical output.
+    # carry `total`.  Same measured cost as a full lax.sort on current
+    # XLA:TPU (~33 ms at 14M cells on v5e) but states the actual intent
+    # (select-k) so future TopK lowerings can win; ~3x faster than
+    # jnp.nonzero's lowering either way.
     iota = jax.lax.iota(jnp.int32, total)
     neg = jnp.where(occ, -iota, -total)
     k = min(capacity, total)

@@ -83,3 +83,19 @@ def warp(
         max_base = -(-int(max_disp) // 128) * 128
         out = bilinear_warp_tiled(img3, flow3, max_base)
     return out.reshape(n, c, H, W)
+
+
+def warp_planar(
+    img: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    use_pallas: bool = False,
+    max_disp: int = 32,
+) -> jnp.ndarray:
+    """`warp` for single-plane images with separate flow planes.
+
+    img, u, v: [N, H, W].  Used by the planar (layout-transposeless)
+    interpolation chain in models/slomo.py.
+    """
+    flow = jnp.stack([u, v], axis=1)
+    return warp(img[:, None], flow, use_pallas, max_disp)[:, 0]

@@ -32,7 +32,7 @@ import numpy as np
 
 from v2e_tpu.models.backwarp import backwarp, warp
 from v2e_tpu.models.convert_ckpt import init_random_slomo_params, load_slomo_params
-from v2e_tpu.models.unet import unet_apply
+from v2e_tpu.models.unet import unet_apply, unet_apply_io_nhwc
 from v2e_tpu.models.unet_s2d import unet_apply_s2d
 
 logger = logging.getLogger(__name__)
@@ -121,6 +121,12 @@ def interpolate_pairs(
     t=(i+0.5)/U between each pair (the reference's half-sample offset,
     slomo.py:405).
     """
+    if not use_s2d:
+        return _interpolate_pairs_planar(
+            flow_params, interp_params, I0, I1, upsampling_factor,
+            max_group, compute_dtype, use_pallas_warp, warp_max_disp,
+            flow_out,
+        )
     unet = _unet_impl(use_s2d)
     if flow_out is None:
         flow_out = unet(
@@ -204,6 +210,117 @@ def interpolate_pairs(
         frames = frames.reshape(n_groups * g, *frames.shape[2:])
     frames = frames[:U]
     return jnp.moveaxis(frames, 0, 1)
+
+
+def _group_split(U: int, B: int, max_group: int):
+    """Split U intermediate times into n groups of g, minimizing padded
+    (wasted) UNet forwards while keeping the device batch g*B near
+    max_group."""
+    best = None
+    for n in range(1, U + 1):
+        g_cand = -(-U // n)
+        if g_cand * B > max(max_group, B):
+            continue
+        key = (n * g_cand - U, n)
+        if best is None or key < best[0]:
+            best = (key, n, g_cand)
+    _, n_groups, g = best
+    return n_groups, g
+
+
+def _interpolate_pairs_planar(
+    flow_params, interp_params, I0, I1, U, max_group, compute_dtype,
+    use_pallas_warp, warp_max_disp, flow_out,
+):
+    """The dense interpolation chain on PLANAR [N,h,w] tensors.
+
+    Same math as the NCHW body in `interpolate_pairs` (reference
+    slomo.py:404-433) with every image/flow component kept as its own
+    [N,h,w] plane and the refinement UNet fed NHWC directly
+    (unet_apply_io_nhwc) — no layout transposes anywhere in the group
+    body (the NCHW round trips were ~22 ms per 160-frame chunk on v5e).
+    """
+    from v2e_tpu.models.backwarp import warp_planar
+
+    if flow_out is None:
+        flow_out = unet_apply(
+            flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
+        )
+    B = I0.shape[0]
+    # NCHW channel slices are contiguous planes — no transpose
+    P0, P1 = I0[:, 0], I1[:, 0]
+    u01, v01 = flow_out[:, 0], flow_out[:, 1]
+    u10, v10 = flow_out[:, 2], flow_out[:, 3]
+
+    ts = (jnp.arange(U, dtype=jnp.float32) + 0.5) / U
+    n_groups, g = _group_split(U, B, max_group)
+    pad = n_groups * g - U
+    ts_groups = jnp.concatenate(
+        [ts, jnp.full((pad,), 0.5, jnp.float32)]
+    ).reshape(n_groups, g)
+
+    tile = lambda p: jnp.tile(p, (g, 1, 1))  # [g*B,h,w]
+    P0g, P1g = tile(P0), tile(P1)
+    u01g, v01g = tile(u01), tile(v01)
+    u10g, v10g = tile(u10), tile(v10)
+
+    def group(ts_g):
+        t = jnp.repeat(ts_g, B)[:, None, None]  # [g*B,1,1]
+        tmp = -t * (1.0 - t)
+        a, b = tmp, t * t
+        c, d = (1.0 - t) * (1.0 - t), tmp
+        ut0 = a * u01g + b * u10g
+        vt0 = a * v01g + b * v10g
+        ut1 = c * u01g + d * u10g
+        vt1 = c * v01g + d * v10g
+        # both directions in one batched warp call
+        g01 = warp_planar(
+            jnp.concatenate([P0g, P1g]),
+            jnp.concatenate([ut0, ut1]),
+            jnp.concatenate([vt0, vt1]),
+            use_pallas_warp, warp_max_disp,
+        )
+        g0, g1 = g01[: g * B], g01[g * B :]
+        # 12-channel NHWC stack (cast per plane so the casts fuse into the
+        # producers); channel order matches the reference's torch.cat
+        # (slomo.py:415) for checkpoint parity
+        stack = jnp.stack(
+            [
+                p.astype(compute_dtype)
+                for p in (P0g, P1g, u01g, v01g, u10g, v10g,
+                          ut1, vt1, ut0, vt0, g1, g0)
+            ],
+            axis=-1,
+        )
+        intrp = unet_apply_io_nhwc(interp_params, stack, compute_dtype)
+        intrp = intrp.astype(jnp.float32)
+        ut0f = intrp[..., 0] + ut0
+        vt0f = intrp[..., 1] + vt0
+        ut1f = intrp[..., 2] + ut1
+        vt1f = intrp[..., 3] + vt1
+        V0 = jax.nn.sigmoid(intrp[..., 4])
+        V1 = 1.0 - V0
+        g01f = warp_planar(
+            jnp.concatenate([P0g, P1g]),
+            jnp.concatenate([ut0f, ut1f]),
+            jnp.concatenate([vt0f, vt1f]),
+            use_pallas_warp, warp_max_disp,
+        )
+        g0f, g1f = g01f[: g * B], g01f[g * B :]
+        w0 = (1.0 - t) * V0
+        w1 = t * V1
+        Ft_p = (w0 * g0f + w1 * g1f) / (w0 + w1)
+        return Ft_p.reshape(g, B, *Ft_p.shape[1:])  # [g,B,h,w]
+
+    if n_groups == 1:
+        frames = group(ts_groups[0])
+    else:
+        _, frames = jax.lax.scan(
+            lambda _, tg: (None, group(tg)), None, ts_groups
+        )
+        frames = frames.reshape(n_groups * g, *frames.shape[2:])
+    frames = frames[:U]  # [U,B,h,w]
+    return jnp.moveaxis(frames, 0, 1)[:, :, None]  # [B,U,1,h,w]
 
 
 @functools.partial(jax.jit, static_argnums=(1, 2))

@@ -138,6 +138,21 @@ def unet_apply_nhwc(params: Params, x: jnp.ndarray) -> jnp.ndarray:
     return _conv_block(x, params["conv3"])
 
 
+def unet_apply_io_nhwc(
+    params: Params, x: jnp.ndarray, compute_dtype=None
+) -> jnp.ndarray:
+    """Forward pass with NHWC input AND output — no layout transposes.
+
+    x: [N, H, W, in_ch]; returns [N, H, W, out_ch] in x.dtype.  Used by the
+    planar interpolation chain (models/slomo.py) where every tensor lives
+    in [N, H, W(, C)] layout end to end.
+    """
+    in_dtype = x.dtype
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+    return unet_apply_nhwc(params, x).astype(in_dtype)
+
+
 def unet_apply(params: Params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
     """Forward pass. x: [N, in_ch, H, W] with H, W multiples of 32.
 
