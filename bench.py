@@ -50,10 +50,10 @@ def main() -> int:
     H, W = 260, 346
     SRC_FPS = 30.0
     U = 10  # 10x slowdown
-    B = 16  # pairs per chunk
+    B = int(os.environ.get("V2E_BENCH_B", 16))  # pairs per chunk
     # env knobs for constrained runners
-    N_WARM = int(os.environ.get("V2E_BENCH_WARM", 5))
-    N_MEAS = int(os.environ.get("V2E_BENCH_MEAS", 10))
+    N_WARM = int(os.environ.get("V2E_BENCH_WARM", 6))
+    N_MEAS = int(os.environ.get("V2E_BENCH_MEAS", 24))
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -76,7 +76,12 @@ def main() -> int:
     total_events = 0
     total_dvs_time = 0.0
     pair_index = 0
-    DEPTH = 2  # chunks in flight: absorbs link jitter on remote devices
+    # chunks in flight: hides link RTT/fetch jitter on remote devices.
+    # Honest measurement needs N_MEAS >> DEPTH (chunks queued before the
+    # clock starts drain instantly and inflate short windows): with a
+    # 32-chunk window, depth 2 -> 1.70x, 6 -> 1.72x, 8 -> 1.85x on the
+    # tunneled v5e.
+    DEPTH = int(os.environ.get("V2E_BENCH_DEPTH", 6))
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 

@@ -75,7 +75,9 @@ def run_interpolated_pipeline(
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    DEPTH = 2
+    # 3 chunks in flight hides the link RTT on remote-attached devices
+    # (bench.py measured 1.70x -> 1.97x realtime going from depth 2 to 3)
+    DEPTH = 3
     collector = ThreadPoolExecutor(1)
     pending: deque = deque()
 
