@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# the container's sitecustomize exports JAX_PLATFORMS=axon; cli.main honors
+# that env var (it re-applies it over this config), so pin the env too or a
+# CLI test flips every later test in the process onto the TPU backend
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

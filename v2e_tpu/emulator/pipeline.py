@@ -19,7 +19,7 @@ class ChunkPipeline:
         self,
         emulator,
         on_events: Callable[[np.ndarray, Optional[np.ndarray], np.ndarray], None],
-        depth: int = 3,
+        depth: int = 6,
     ):
         self.emulator = emulator
         self.on_events = on_events

@@ -69,15 +69,15 @@ def run_interpolated_pipeline(
     stats_u: List[tuple] = []  # (source time, upsampling factor) per chunk
     pbar = tqdm(desc="slomo+dvs", unit="src fr")
 
-    # depth-2 chunk pipeline with a single collector thread: the device runs
+    # deep chunk pipeline with a single collector thread: the device runs
     # ahead while the host materializes/writes, and device->host fetches
     # overlap the next submission (critical on remote-attached devices)
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    # 3 chunks in flight hides the link RTT on remote-attached devices
-    # (bench.py measured 1.70x -> 1.97x realtime going from depth 2 to 3)
-    DEPTH = 3
+    # 6 chunks in flight hides link RTT/fetch jitter on remote-attached
+    # devices (bench.py steady-state: 1.70x at depth 2, 1.84x at depth 6)
+    DEPTH = 6
     collector = ThreadPoolExecutor(1)
     pending: deque = deque()
 
