@@ -14,6 +14,7 @@ labeled by setting the special-event bit 10 (:33-37).
 """
 from __future__ import annotations
 
+import atexit
 import logging
 from typing import Optional
 
@@ -37,6 +38,9 @@ class AEDat2Output:
     ):
         self.filepath = filepath
         self.file = None
+        # finalize on interpreter exit (reference registers atexit in
+        # every writer, e.g. aedat2_output.py:90) — close() is idempotent
+        atexit.register(self.close)
         self.label_signal_noise = label_signal_noise
         if (output_width, output_height) in ((346, 260), (240, 180)):
             self.yShiftBits, self.xShiftBits, self.polShiftBits = 22, 12, 11

@@ -24,6 +24,7 @@ available optionally via the ``compression`` argument.
 """
 from __future__ import annotations
 
+import atexit
 import logging
 import struct
 from typing import Optional
@@ -209,6 +210,9 @@ class AEDat4Output:
         self._data_table = [] if data_table else None
 
         self.file = open(filepath, "wb")
+        # finalize on interpreter exit (reference registers atexit in
+        # every writer, e.g. aedat2_output.py:90) — close() is idempotent
+        atexit.register(self.close)
         self.file.write(_VERSION_LINE)
         info = _out_info_xml(output_width, output_height, compression, source_name)
         self.file.write(

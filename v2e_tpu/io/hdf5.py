@@ -9,6 +9,7 @@ Matches the datasets the reference emulator creates inline
 """
 from __future__ import annotations
 
+import atexit
 import logging
 from typing import Optional, Sequence
 
@@ -23,6 +24,9 @@ class DVSH5Output:
 
         self.filepath = filepath
         self.file = h5py.File(filepath, "w")
+        # finalize on interpreter exit (reference registers atexit in
+        # every writer, e.g. aedat2_output.py:90) — close() is idempotent
+        atexit.register(self.close)
         self.events_dataset = self.file.create_dataset(
             name="events",
             shape=(0, 4),

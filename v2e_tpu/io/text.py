@@ -8,6 +8,7 @@ loop (:96-100).
 """
 from __future__ import annotations
 
+import atexit
 import logging
 from typing import Optional
 
@@ -26,6 +27,9 @@ class DVSTextOutput:
         self.sizex = 346
         self.sizey = 260
         self.file = open(filepath, "w")
+        # finalize on interpreter exit (reference registers atexit in
+        # every writer, e.g. aedat2_output.py:90) — close() is idempotent
+        atexit.register(self.close)
         self._write_header()
 
     def _write_header(self) -> None:
