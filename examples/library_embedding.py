@@ -7,9 +7,13 @@ the chunked fast path.
 
 Usage: python examples/library_embedding.py [video.avi]
 """
+import os
 import sys
 
 import numpy as np
+
+# runnable without installation: repo root onto the path
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> int:
