@@ -239,3 +239,43 @@ class TestHighUpsampling:
         assert ev.shape[0] > 0
         assert np.all(np.diff(ev[:, 0]) >= 0)
         assert np.min(np.diff(np.unique(ev[:, 0]))) < 0.004
+
+
+class TestTrainSlomoTool:
+    def test_train_two_steps_and_load(self, tmp_path):
+        """dataset_tools/train_slomo end-to-end on a tiny video: loss is
+        finite, checkpoints + npz export are written, and the npz loads
+        back into the conversion engine (--slomo_model contract)."""
+        import cv2
+
+        vid_dir = tmp_path / "vids"
+        vid_dir.mkdir()
+        rng = np.random.default_rng(0)
+        vw = cv2.VideoWriter(
+            str(vid_dir / "a.avi"), cv2.VideoWriter_fourcc(*"XVID"),
+            30, (96, 64), False,
+        )
+        base = rng.integers(40, 210, (64, 96), dtype=np.uint8)
+        for i in range(12):
+            vw.write(np.roll(base, i * 3, axis=1))
+        vw.release()
+
+        from dataset_tools.train_slomo import main
+
+        out = tmp_path / "run"
+        rc = main([
+            "-i", str(vid_dir), "-o", str(out),
+            "--steps", "2", "--batch_size", "2",
+            "--crop", "64", "96", "--gap", "2",
+            "--checkpoint_every", "2", "--log_every", "1",
+        ])
+        assert rc == 0
+        npz = out / "slomo_trained.npz"
+        assert npz.exists()
+        assert (out / "ckpt" / "2").exists()
+
+        from v2e_tpu.models.convert_ckpt import load_slomo_params
+
+        flow_p, interp_p = load_slomo_params(str(npz))
+        assert flow_p["conv1"]["w"].shape[1] == 2   # UNet(2,4)
+        assert interp_p["conv1"]["w"].shape[1] == 12  # UNet(12,5)
