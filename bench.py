@@ -52,8 +52,8 @@ def main() -> int:
     U = 10  # 10x slowdown
     B = int(os.environ.get("V2E_BENCH_B", 16))  # pairs per chunk
     # env knobs for constrained runners
-    N_WARM = int(os.environ.get("V2E_BENCH_WARM", 6))
-    N_MEAS = int(os.environ.get("V2E_BENCH_MEAS", 24))
+    N_WARM = int(os.environ.get("V2E_BENCH_WARM", 5))
+    N_MEAS = int(os.environ.get("V2E_BENCH_MEAS", 18))
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
