@@ -38,8 +38,21 @@ def make_source_frames(n: int, H: int, W: int, seed: int = 0) -> np.ndarray:
 
 
 def main() -> int:
+    import os
+
     import jax
     import jax.numpy as jnp
+
+    # persistent compilation cache: the ~7 min of first compiles amortize
+    # across bench invocations (cli.py sets the same cache)
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.expanduser("~"), ".cache", "v2e_tpu_xla"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from v2e_tpu.emulator import EventEmulator
     from v2e_tpu.models.pipeline import run_interpolated_pipeline  # noqa: F401
