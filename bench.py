@@ -5,9 +5,21 @@ source with SuperSloMo 10x upsampling, which a GTX-1050 converts 50-200x
 SLOWER than real time) on one TPU chip: source frames are interpolated
 10-fold by the SuperSloMo UNets and scanned through the full DVS emulator
 (threshold mismatch, lowpass, leak+shot noise), with events materialized to
-AER on the host.  Reported value is the realtime factor (DVS seconds
-converted per wall second); vs_baseline is measured against the reference's
-BEST case (1/50 realtime).
+AER on the host.  Each chunk runs as ONE fused device program
+(v2e_tpu.fused: interpolate + emulate + compact single-dispatch).
+
+Methodology (honest-window rules):
+ * the warm phase fully drains before the clock starts, so no pre-queued
+   work can inflate the window;
+ * the clock runs from the first measured submission to the last collected
+   chunk (the pipeline-fill idle is charged to the measurement);
+ * N_MEAS >= 6x pipeline depth, and a second depth-2 window is measured and
+   printed so depth sensitivity is visible;
+ * events are shuffled within iterations (the CLI default host path).
+
+Reported value is the realtime factor (DVS seconds converted per wall
+second) of the depth-6 window; vs_baseline is measured against the
+reference's BEST case (1/50 realtime).
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -23,17 +35,15 @@ import numpy as np
 def make_source_frames(n: int, H: int, W: int, seed: int = 0) -> np.ndarray:
     """Synthetic 30fps source: drifting sinusoidal texture + moving bright
     blob, so flow and events are non-trivial everywhere."""
-    rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    base = 100 + 40 * np.sin(xx / 17.0) * np.cos(yy / 13.0)
-    frames = np.empty((n, H, W), dtype=np.float32)
+    frames = np.empty((n, H, W), dtype=np.uint8)
     for i in range(n):
         shift = 2.0 * i  # ~2 px/frame drift
         fr = 100 + 40 * np.sin((xx + shift) / 17.0) * np.cos(yy / 13.0)
         cx = (W / 4 + 5 * i) % W
         cy = H / 2
         blob = 80 * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * 15.0**2)))
-        frames[i] = np.clip(fr + blob, 0, 255)
+        frames[i] = np.clip(fr + blob, 0, 255).astype(np.uint8)
     return frames
 
 
@@ -41,24 +51,16 @@ def main() -> int:
     import os
 
     import jax
-    import jax.numpy as jnp
 
     # persistent compilation cache: the ~7 min of first compiles amortize
-    # across bench invocations (cli.py sets the same cache)
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.expanduser("~"), ".cache", "v2e_tpu_xla"),
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # across bench invocations (cli.py sets the same host-keyed cache)
+    from v2e_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from v2e_tpu.emulator import EventEmulator
-    from v2e_tpu.models.pipeline import run_interpolated_pipeline  # noqa: F401
+    from v2e_tpu.fused import FusedConverter
     from v2e_tpu.models.slomo import SuperSloMo
-
-    import os
 
     H, W = 260, 346
     SRC_FPS = 30.0
@@ -66,7 +68,10 @@ def main() -> int:
     B = int(os.environ.get("V2E_BENCH_B", 16))  # pairs per chunk
     # env knobs for constrained runners
     N_WARM = int(os.environ.get("V2E_BENCH_WARM", 5))
-    N_MEAS = int(os.environ.get("V2E_BENCH_MEAS", 18))
+    N_MEAS = int(os.environ.get("V2E_BENCH_MEAS", 36))  # >= 6x DEPTH
+    DEPTH = int(os.environ.get("V2E_BENCH_DEPTH", 6))
+    N_MEAS2 = int(os.environ.get("V2E_BENCH_MEAS2", 12))  # depth-2 window
+    DEPTH2 = 2
 
     dev = jax.devices()[0]
     print(f"# device: {dev}", file=sys.stderr)
@@ -78,23 +83,14 @@ def main() -> int:
         cutoff_hz=300.0, leak_rate_hz=0.01, shot_noise_rate_hz=0.001,
         refractory_period_s=0.0005,
         seed=42,
-        shuffle_events_within_iteration=False,
         compaction_capacity_hint=160_000,
     )
+    fused = FusedConverter(slomo, emulator)
 
-    n_chunks = N_WARM + N_MEAS
+    n_chunks = N_WARM + N_MEAS + N_MEAS2
     src = make_source_frames(n_chunks * B + 1, H, W)
     src_interval = 1.0 / SRC_FPS
 
-    total_events = 0
-    total_dvs_time = 0.0
-    pair_index = 0
-    # chunks in flight: hides link RTT/fetch jitter on remote devices.
-    # Honest measurement needs N_MEAS >> DEPTH (chunks queued before the
-    # clock starts drain instantly and inflate short windows): with a
-    # 32-chunk window, depth 2 -> 1.70x, 6 -> 1.72x, 8 -> 1.85x on the
-    # tunneled v5e.
-    DEPTH = int(os.environ.get("V2E_BENCH_DEPTH", 6))
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
@@ -102,54 +98,69 @@ def main() -> int:
     # a single collector thread preserves collection order while its
     # device->host fetches overlap the main thread's submissions
     collector = ThreadPoolExecutor(1)
+    chunk_counter = [0]
 
     def submit(c):
-        nonlocal pair_index
-        # uint8 transport: 4x less host->device traffic
-        chunk = src[c * B : c * B + B + 1].astype(np.uint8)
-        interp, u = slomo.interpolate_batch(jnp.asarray(chunk), H, W)
-        n_out = (chunk.shape[0] - 1) * u
-        times = (pair_index + np.arange(n_out, dtype=np.float64) / u) * src_interval
-        pair_index += chunk.shape[0] - 1
-        return emulator.submit_batch(interp, times), n_out
+        chunk = src[c * B : c * B + B + 1]
+        times = (c * B + np.arange(B * U, dtype=np.float64) / U) * src_interval
+        handle = fused.submit(chunk, times)
+        if handle is not None:
+            pending.append((collector.submit(emulator.collect, handle), handle))
 
-    t_meas_start = None
-    t_end = None
-
-    def drain_one():
-        nonlocal total_events, total_dvs_time, t_meas_start, t_end
-        fut, pc, pn = pending.popleft()
+    def drain_one(counters=None):
+        fut, handle = pending.popleft()
         events, _, _ = fut.result()
-        n_ev = events.shape[0]
-        if pc == N_WARM - 1:
-            t_meas_start = time.perf_counter()
-        if pc >= N_WARM:
-            total_events += n_ev
-            total_dvs_time += B * src_interval
-            t_end = time.perf_counter()
-        print(f"# chunk {pc}: {pn} interp frames, {n_ev} events",
-              file=sys.stderr)
+        fused.note_collected(handle)
+        pc = chunk_counter[0]
+        chunk_counter[0] += 1
+        if counters is not None:
+            counters[0] += events.shape[0]
+            counters[1] += B * src_interval
+        print(f"# chunk {pc}: {events.shape[0]} events", file=sys.stderr)
 
-    for c in range(n_chunks):
-        handle, n_out = submit(c)
-        pending.append((collector.submit(emulator.collect, handle), c, n_out))
-        if len(pending) > DEPTH:
-            drain_one()
-    while pending:
-        drain_one()
-    collector.shutdown()
-    wall = t_end - t_meas_start
+    def run_window(first_chunk, n, depth, counters=None):
+        """Submit+collect chunks [first, first+n) with `depth` in flight,
+        starting and ending with an empty pipeline."""
+        for c in range(first_chunk, first_chunk + n):
+            submit(c)
+            if len(pending) > depth:
+                drain_one(counters)
+        while pending:
+            drain_one(counters)
 
-    rt_factor = total_dvs_time / wall
-    meps = total_events / wall / 1e6
+    # ---- warm (compiles + allocator warmup), fully drained ----
+    run_window(0, N_WARM, DEPTH)
+
+    # ---- measured depth-6 window: clock from first submission ----
+    meas = [0, 0.0]  # events, dvs seconds
+    t0 = time.perf_counter()
+    run_window(N_WARM, N_MEAS, DEPTH, meas)
+    wall = time.perf_counter() - t0
+    rt_factor = meas[1] / wall
+    meps = meas[0] / wall / 1e6
     frames_per_s = (N_MEAS * B * U) / wall
-    # reference best case: 50x slower than real time on GTX-1050
-    vs_baseline = rt_factor / (1.0 / 50.0)
     print(
-        f"# realtime factor {rt_factor:.3f}x | {meps:.2f} Meps | "
-        f"{frames_per_s:.0f} interp fr/s | events {total_events:,}",
+        f"# depth-{DEPTH} window ({N_MEAS} chunks): realtime factor "
+        f"{rt_factor:.3f}x | {meps:.2f} Meps | "
+        f"{frames_per_s:.0f} interp fr/s | events {meas[0]:,}",
         file=sys.stderr,
     )
+
+    # ---- depth-2 sensitivity window ----
+    if N_MEAS2 > 0:
+        meas2 = [0, 0.0]
+        t0 = time.perf_counter()
+        run_window(N_WARM + N_MEAS, N_MEAS2, DEPTH2, meas2)
+        wall2 = time.perf_counter() - t0
+        print(
+            f"# depth-{DEPTH2} window ({N_MEAS2} chunks): realtime factor "
+            f"{meas2[1] / wall2:.3f}x | {meas2[0] / wall2 / 1e6:.2f} Meps",
+            file=sys.stderr,
+        )
+
+    collector.shutdown()
+    # reference best case: 50x slower than real time on GTX-1050
+    vs_baseline = rt_factor / (1.0 / 50.0)
     print(json.dumps({
         "metric": "realtime_factor_346x260_10x_slomo_1chip",
         "value": round(rt_factor, 4),

@@ -9,9 +9,17 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in _flags:
+    # On few-core hosts the 8 virtual devices' collective rendezvous makes
+    # progress but can outlast XLA's default terminate timeout, which kills
+    # the whole process with a fatal abort mid-suite (seen in test_parallel).
+    # Same flags as parallel/dryrun.py.
+    _flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=1200"
+    )
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

@@ -232,3 +232,56 @@ class TestMultiDevice:
         ev2 = np.loadtxt(tmp_path / "b" / "out" / "ev.txt", comments="#")
         assert ev2.shape[0] > 0
         assert abs(ev1.shape[0] - ev2.shape[0]) <= max(0.15 * ev1.shape[0], 30)
+
+
+class TestTorchCkptCLI:
+    """--slomo_model accepts the reference's torch .ckpt format directly
+    (reference v2e_args.py:260-263 takes SuperSloMo39.ckpt verbatim; keys
+    state_dictFC/state_dictAT per reference slomo.py:225-227)."""
+
+    def _make_ckpt(self, path):
+        torch = pytest.importorskip("torch")
+        from v2e_tpu.models.convert_ckpt import FLOW_SPEC, INTERP_SPEC
+
+        torch.manual_seed(3)
+        ckpt = {"epoch": 39}
+        for key, spec in (("state_dictFC", FLOW_SPEC),
+                          ("state_dictAT", INTERP_SPEC)):
+            state = {}
+            for name, ci, co, k in spec.conv_specs:
+                state[f"{name}.weight"] = torch.randn(co, ci, k, k) * 0.05
+                state[f"{name}.bias"] = torch.randn(co) * 0.01
+            ckpt[key] = state
+        torch.save(ckpt, str(path))
+
+    def test_ckpt_end_to_end_with_npz_cache(self, tmp_path, small_video):
+        ckpt = tmp_path / "SuperSloMo39.ckpt"
+        self._make_ckpt(ckpt)
+        rc = run(tmp_path / "a", [
+            "-i", small_video,
+            "--slomo_model", str(ckpt),
+            "--timestamp_resolution", "0.01",
+            "--auto_timestamp_resolution", "false",
+            "--batch_size", "4",
+            "--dvs_emulator_seed", "3",
+        ])
+        assert rc == 0
+        ev = np.loadtxt(tmp_path / "a" / "out" / "ev.txt", comments="#")
+        assert ev.shape[0] > 0
+        # first load caches the converted npz alongside the ckpt
+        cached = tmp_path / "SuperSloMo39.npz"
+        assert cached.exists()
+        # second run (served from the npz cache) produces the same stream
+        mtime = cached.stat().st_mtime
+        rc = run(tmp_path / "b", [
+            "-i", small_video,
+            "--slomo_model", str(ckpt),
+            "--timestamp_resolution", "0.01",
+            "--auto_timestamp_resolution", "false",
+            "--batch_size", "4",
+            "--dvs_emulator_seed", "3",
+        ])
+        assert rc == 0
+        assert cached.stat().st_mtime == mtime  # cache reused, not rebuilt
+        ev2 = np.loadtxt(tmp_path / "b" / "out" / "ev.txt", comments="#")
+        np.testing.assert_array_equal(ev, ev2)

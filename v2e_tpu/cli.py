@@ -90,22 +90,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         except RuntimeError:
             pass  # backend already initialized (e.g. embedded caller)
 
-    # persistent XLA compilation cache: first-compile dominates short CLI
-    # runs (tens of seconds per program); cached programs load in ms on
-    # later runs.  Off with V2E_COMPILATION_CACHE=""; JAX ignores backends
-    # that don't support serialization.
-    cache_dir = os.environ.get(
-        "V2E_COMPILATION_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "v2e_tpu_xla"),
-    )
-    if cache_dir:
-        import jax
+    # persistent XLA compilation cache (host-feature-keyed: stale CPU AOT
+    # artifacts from a different microarchitecture can SIGILL).  Off with
+    # V2E_COMPILATION_CACHE=""; JAX ignores backends that don't support
+    # serialization.
+    from v2e_tpu.utils.compile_cache import enable_persistent_cache
 
-        try:
-            jax.config.update("jax_compilation_cache_dir", cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception as e:  # unknown option on old jax: run uncached
-            logger.debug(f"compilation cache unavailable: {e}")
+    enable_persistent_cache(logger)
 
     args, other_args = get_args(argv)
 

@@ -461,8 +461,7 @@ def compact_chunk(
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(0, 5))
-def emulate_and_compact(
+def emulate_and_compact_impl(
     cfg: EmulatorConfig,
     params: EmulatorParams,
     state: EmulatorState,
@@ -470,15 +469,9 @@ def emulate_and_compact(
     times: jnp.ndarray,
     capacity: int,
 ):
-    """One-call chunk conversion: scan + sparse compaction fused.
-
-    Minimizes host round trips (a dispatch through a remote-device link can
-    cost tens of ms): a single program returns the new state, the dense
-    per-frame outputs (left on device, only needed again on capacity
-    overflow), and a 'packed' dict — sparse event entries + per-frame
-    scalars + the true occupancy — that the host fetches in one go.
-    """
-    state, outs = emulate_chunk(cfg, params, state, frames, times)
+    """Unjitted body of `emulate_and_compact`: traceable inside larger
+    programs (the fully fused SloMo+emulate chunk in v2e_tpu/fused.py)."""
+    state, outs = emulate_chunk_impl(cfg, params, state, frames, times)
     sparse = compact_chunk(cfg, outs, capacity)
     n_occ = count_occupied(cfg, outs)
     # ALL per-frame scalars + the occupancy in ONE int32 buffer: a host
@@ -503,6 +496,26 @@ def emulate_and_compact(
     if cfg.probe is not None:
         packed["probe"] = outs["probe"]
     return state, outs, packed
+
+
+@functools.partial(jax.jit, static_argnums=(0, 5))
+def emulate_and_compact(
+    cfg: EmulatorConfig,
+    params: EmulatorParams,
+    state: EmulatorState,
+    frames: jnp.ndarray,
+    times: jnp.ndarray,
+    capacity: int,
+):
+    """One-call chunk conversion: scan + sparse compaction fused.
+
+    Minimizes host round trips (a dispatch through a remote-device link can
+    cost tens of ms): a single program returns the new state, the dense
+    per-frame outputs (left on device, only needed again on capacity
+    overflow), and a 'packed' dict — sparse event entries + per-frame
+    scalars + the true occupancy — that the host fetches in one go.
+    """
+    return emulate_and_compact_impl(cfg, params, state, frames, times, capacity)
 
 
 def unpack_scalars(scalars: "object") -> Dict:

@@ -490,6 +490,63 @@ class EventEmulator:
             "frames_for_h5": frames[start:] if self.dvs_h5 is not None else None,
         }
 
+    def submit_batch_fused(
+        self, fused_fn, statics, flow_params, interp_params, frames, times
+    ) -> Dict:
+        """Dispatch a single-program SloMo-interpolate + emulate + compact
+        chunk (see v2e_tpu.fused.fused_chunk).
+
+        Args:
+          frames: [B+1,H,W] SOURCE frames (uint8 ships 4x cheaper).
+          times: [B*U] absolute f64 interpolated-frame times.
+
+        Requires initialized state (run the first chunk through
+        `submit_batch`) and single-device mode.  Returns a `collect` handle.
+        """
+        if self.state is None:
+            raise RuntimeError(
+                "submit_batch_fused needs an initialized emulator (feed the "
+                "first chunk through submit_batch)"
+            )
+        if self.mesh is not None:
+            raise RuntimeError("fused submission is single-device only")
+        times = np.asarray(times, dtype=np.float64)
+        if self.frame_counter and times[0] < self.t_previous:
+            raise ValueError(
+                f"frame time {times[0]} is earlier than previous {self.t_previous}"
+            )
+        if self._pr_noise_pending:
+            self._calibrate_photoreceptor_noise(
+                float(times[0]) - self.t_previous
+            )
+        if not isinstance(frames, jnp.ndarray):
+            frames = jnp.asarray(frames)
+        t_origin = self.t_origin
+        rel_times = jnp.asarray(times - t_origin, dtype=jnp.float32)
+
+        self.state, outs, packed = fused_fn(
+            self.cfg, statics, self.params, self.state, flow_params,
+            interp_params, self._capacity, frames, rel_times,
+        )
+        n_out = times.shape[0]
+        self.frame_counter += n_out
+        self.t_previous = float(times[-1])
+        last_rel = float(times[-1] - t_origin)
+        if last_rel > 8.0:
+            self.state = rebase_state(self.state, jnp.float32(last_rel))
+            self.t_origin += last_rel
+        H, W = statics[0], statics[1]
+        return {
+            "outs": outs,
+            "packed": packed,
+            "capacity": int(packed["sparse"]["idx"].shape[0]),
+            "t_origin": t_origin,
+            "times": times,
+            "shape": (int(n_out), H, W),
+            "frames_for_h5": None,
+            "fused": True,
+        }
+
     def collect(self, handle: Dict):
         """Fetch + materialize a submitted chunk; writes the output sinks.
 
@@ -499,7 +556,12 @@ class EventEmulator:
         dev_packed = handle["packed"]
         has_shot = self.cfg.simple_shot_noise
         # phase 1: ONE small fetch (all per-frame scalars + occupancy)
-        packed = unpack_scalars(np.asarray(dev_packed["scalars"]))
+        scalars_np = np.asarray(dev_packed["scalars"])
+        if handle.get("fused"):
+            # fused chunks append the max-flow magnitude (v2e_tpu.fused)
+            handle["max_flow"] = float(scalars_np[-1:].view(np.float32)[0])
+            scalars_np = scalars_np[:-1]
+        packed = unpack_scalars(scalars_np)
         n_occ = packed["n_occ"]
         if n_occ > handle["capacity"]:
             # rare: compaction capacity overflow — recompact the still-

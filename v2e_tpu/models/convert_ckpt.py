@@ -64,22 +64,45 @@ def _npz_to_params(npz, prefix: str, spec: UNetSpec) -> Params:
 
 
 def load_slomo_params(path: str) -> Tuple[Params, Params]:
-    """Load (flow_params, interp_params) from .npz or torch .ckpt."""
+    """Load (flow_params, interp_params) from .npz or torch .ckpt.
+
+    A torch ``.ckpt`` (the format the reference CLI takes directly,
+    /root/reference/v2ecore/v2e_args.py:260-263) is auto-converted on first
+    use and the converted ``.npz`` cached alongside, so later runs skip the
+    torch load entirely.  The cache is refreshed if the ckpt is newer.
+    """
     if path.endswith(".npz"):
         npz = np.load(path)
         return _npz_to_params(npz, "flow", FLOW_SPEC), _npz_to_params(
             npz, "interp", INTERP_SPEC
         )
-    import torch
 
-    d = torch.load(path, map_location="cpu", weights_only=False)
-    flow = _torch_state_to_params(
-        {k: v.numpy() for k, v in d["state_dictFC"].items()}, FLOW_SPEC
+    cached = os.path.splitext(path)[0] + ".npz"
+    try:
+        fresh = os.path.isfile(cached) and os.path.getmtime(
+            cached
+        ) >= os.path.getmtime(path)
+    except OSError:
+        fresh = False
+    if not fresh:
+        try:
+            convert_torch_checkpoint(path, cached)
+        except OSError as e:  # read-only checkpoint dir: load without cache
+            logger.warning(f"cannot cache converted checkpoint at {cached}: {e}")
+            import torch
+
+            d = torch.load(path, map_location="cpu", weights_only=False)
+            flow = _torch_state_to_params(
+                {k: v.numpy() for k, v in d["state_dictFC"].items()}, FLOW_SPEC
+            )
+            interp = _torch_state_to_params(
+                {k: v.numpy() for k, v in d["state_dictAT"].items()}, INTERP_SPEC
+            )
+            return flow, interp
+    npz = np.load(cached)
+    return _npz_to_params(npz, "flow", FLOW_SPEC), _npz_to_params(
+        npz, "interp", INTERP_SPEC
     )
-    interp = _torch_state_to_params(
-        {k: v.numpy() for k, v in d["state_dictAT"].items()}, INTERP_SPEC
-    )
-    return flow, interp
 
 
 def init_random_slomo_params(seed: int = 0) -> Tuple[Params, Params]:

@@ -69,6 +69,20 @@ def run_interpolated_pipeline(
     stats_u: List[tuple] = []  # (source time, upsampling factor) per chunk
     pbar = tqdm(desc="slomo+dvs", unit="src fr")
 
+    # fixed-U chunks with no host-side consumers of the interpolated frames
+    # run as ONE jitted program each (interpolate+emulate+compact fused; the
+    # staged path dispatches ~5 programs per chunk with HBM round trips
+    # between them)
+    from v2e_tpu.fused import FusedConverter
+
+    fused = (
+        FusedConverter(slomo, emulator)
+        if FusedConverter.usable(slomo, emulator, slomo_writer is not None)
+        else None
+    )
+    if fused is not None:
+        logger.info("using fused single-dispatch conversion chunks")
+
     # deep chunk pipeline with a single collector thread: the device runs
     # ahead while the host materializes/writes, and device->host fetches
     # overlap the next submission (critical on remote-attached devices)
@@ -82,13 +96,21 @@ def run_interpolated_pipeline(
     pending: deque = deque()
 
     def drain_one() -> None:
-        fut = pending.popleft()
+        fut, handle = pending.popleft()
         events, _, offsets = fut.result()
+        if fused is not None and handle is not None:
+            fused.note_collected(handle)  # lookahead warp window
         if events.shape[0]:
             feed_renderer(
                 renderer, events, offsets, exposure_mode,
                 output_height, output_width, args.skip_video_output,
             )
+
+    def enqueue(handle) -> None:
+        if handle is not None:
+            pending.append((collector.submit(emulator.collect, handle), handle))
+            if len(pending) > DEPTH:
+                drain_one()
 
     def process_window() -> None:
         nonlocal pair_index
@@ -96,36 +118,45 @@ def run_interpolated_pipeline(
             return
         chunk = np.stack(window)
         n_pairs = chunk.shape[0] - 1
-        # pair slices bound device memory at very high upsampling factors
-        # (the Colab-scale ~800x workload, reference README.md:38-41)
-        U, slices = slomo.interpolate_batch_slices(
-            jnp.asarray(chunk), output_height, output_width
-        )
-        stats_u.append((pair_index * src_frame_interval, U))
-        for interp, pair_off in slices:
-            n_out = interp.shape[0]
-            # output frame k*U+i of pair k sits at source-unit time k + i/U
-            # (reference slomo.py:389-400)
+
+        if fused is not None:
+            U = slomo.upsampling_factor
+            n_out = n_pairs * U
             rel = np.arange(n_out, dtype=np.float64) / U
-            times = (pair_index + pair_off + rel) * src_frame_interval
-
-            handle = emulator.submit_batch(interp, times)
-            if handle is not None:
-                pending.append(collector.submit(emulator.collect, handle))
-                if len(pending) > DEPTH:
-                    drain_one()
-
-            if slomo_writer is not None:
-                import cv2
-
-                host = np.asarray(interp).astype(np.uint8)
-                for fr in host:
-                    slomo_writer.write(cv2.cvtColor(fr, cv2.COLOR_GRAY2BGR))
-
+            times = (pair_index + rel) * src_frame_interval
+            stats_u.append((pair_index * src_frame_interval, U))
+            enqueue(fused.submit(chunk, times))
             stats.n_frames += n_out
             if stats.first_ts is None:
                 stats.first_ts = times[0]
             stats.last_ts = times[-1]
+        else:
+            # pair slices bound device memory at very high upsampling
+            # factors (the Colab-scale ~800x workload, README.md:38-41)
+            U, slices = slomo.interpolate_batch_slices(
+                jnp.asarray(chunk), output_height, output_width
+            )
+            stats_u.append((pair_index * src_frame_interval, U))
+            for interp, pair_off in slices:
+                n_out = interp.shape[0]
+                # output frame k*U+i of pair k sits at source-unit time
+                # k + i/U (reference slomo.py:389-400)
+                rel = np.arange(n_out, dtype=np.float64) / U
+                times = (pair_index + pair_off + rel) * src_frame_interval
+
+                enqueue(emulator.submit_batch(interp, times))
+
+                if slomo_writer is not None:
+                    import cv2
+
+                    host = np.asarray(interp).astype(np.uint8)
+                    for fr in host:
+                        slomo_writer.write(cv2.cvtColor(fr, cv2.COLOR_GRAY2BGR))
+
+                stats.n_frames += n_out
+                if stats.first_ts is None:
+                    stats.first_ts = times[0]
+                stats.last_ts = times[-1]
 
         if orig_writer is not None:
             import cv2

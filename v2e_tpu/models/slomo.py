@@ -409,6 +409,7 @@ class SuperSloMo:
         self.warp_max_disp = warp_max_disp
         # flow-bucketed warp windows (see _choose_disp); per-bucket compiles
         self.adaptive_disp = adaptive_disp
+        self.last_disp: Optional[int] = None  # most recent warp window
         if use_s2d is None:
             # space-to-depth UNet: moves the low-channel full-res convs onto
             # the MXU, but the 1.31-1.78x MAC overhead + 4-phase dispatch
@@ -482,12 +483,15 @@ class SuperSloMo:
         static window would not also clamp."""
         max_disp = self.warp_max_disp
         if self.auto_upsample and U > max_disp:
+            self.last_disp = U
             return U  # flow beyond the static cap: widen (tiled kernel)
         if self.use_pallas_warp and self.adaptive_disp:
             need = float(max_flow_speed(flow_out)) * 1.25 + 2.0
             for b in self.DISP_BUCKETS:
                 if need <= b <= max_disp:
+                    self.last_disp = b
                     return b
+        self.last_disp = max_disp
         return max_disp
 
     def interpolate_batch(
