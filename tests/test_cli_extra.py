@@ -285,3 +285,68 @@ class TestTorchCkptCLI:
         assert cached.stat().st_mtime == mtime  # cache reused, not rebuilt
         ev2 = np.loadtxt(tmp_path / "b" / "out" / "ev.txt", comments="#")
         np.testing.assert_array_equal(ev, ev2)
+
+
+class TestSlomoUseSaved:
+    """--slomo_use_saved: first run records the interpolated stream, later
+    runs replay it without loading/running SuperSloMo (the reference's
+    unimplemented TODO, v2e_args.py:280-285)."""
+
+    def test_record_then_replay_identical(self, tmp_path, small_video):
+        import glob
+
+        common = [
+            "-i", small_video, "--slomo_use_saved",
+            "--timestamp_resolution", "0.01",
+            "--auto_timestamp_resolution", "false",
+            "--batch_size", "4", "--dvs_emulator_seed", "3",
+            "--allow_random_slomo",
+        ]
+        rc = run(tmp_path / "a", common)
+        assert rc == 0
+        caches = glob.glob(str(tmp_path / "a" / "slomo-cache-*.h5"))
+        assert len(caches) == 1
+
+        # replay into a sibling output folder: same parent -> same cache.
+        # --allow_random_slomo is dropped: if the replay path tried to
+        # build SuperSloMo, the (missing) default checkpoint would raise.
+        rc = run(tmp_path / "a", [
+            "-i", small_video, "--slomo_use_saved",
+            "--timestamp_resolution", "0.01",
+            "--auto_timestamp_resolution", "false",
+            "--batch_size", "4", "--dvs_emulator_seed", "3",
+            "--output_folder", str(tmp_path / "a" / "out2"),
+        ])
+        assert rc == 0
+        ev = lambda p: [
+            l for l in (p / "ev.txt").read_text().splitlines()
+            if not l.startswith("#")
+        ]
+        a = ev(tmp_path / "a" / "out")
+        b = ev(tmp_path / "a" / "out2")
+        assert len(a) > 20
+        assert a == b
+
+    def test_replay_sweeps_thresholds(self, tmp_path, small_video):
+        """The sweep use case: replay runs with different emulator params
+        produce different streams from the same cached interpolation."""
+        def go(out, thres):
+            # no --dvs_params preset: it would override the threshold sweep
+            return main([
+                "-i", small_video, "--slomo_use_saved",
+                "--unique_output_folder", "false", "--overwrite",
+                "--skip_video_output", "--no_shuffle",
+                "--dvs_text", "ev.txt",
+                "--timestamp_resolution", "0.01",
+                "--auto_timestamp_resolution", "false",
+                "--batch_size", "4", "--dvs_emulator_seed", "3",
+                "--allow_random_slomo",
+                "--pos_thres", thres, "--neg_thres", thres,
+                "--sigma_thres", "0.0", "--cutoff_hz", "0",
+                "--leak_rate_hz", "0", "--shot_noise_rate_hz", "0",
+                "--output_folder", str(tmp_path / "s" / out),
+            ])
+        assert go("lo", "0.1") == 0
+        assert go("hi", "0.4") == 0
+        n = lambda p: len(np.loadtxt(tmp_path / "s" / p / "ev.txt", comments="#"))
+        assert n("lo") > n("hi")  # lower threshold -> more events

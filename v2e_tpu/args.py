@@ -155,6 +155,15 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                              help="output slomo video (or None)")
     slomo_group.add_argument("--slomo_stats_plot", action="store_true",
                              help="show a plot of slomo statistics")
+    slomo_group.add_argument("--slomo_use_saved", action="store_true",
+                             help="cache the interpolated frame stream and "
+                                  "reuse it on later runs with the same "
+                                  "input + SloMo settings (e.g. threshold "
+                                  "sweeps re-run only the emulator). The "
+                                  "cache file lives next to the output "
+                                  "folder; keyed by input file, crop/size "
+                                  "and SloMo parameters. (The reference "
+                                  "left this as a TODO, v2e_args.py:280-285)")
 
     in_group = parser.add_argument_group("Input file handling")
     in_group.add_argument("-i", "--input", type=expandpath,

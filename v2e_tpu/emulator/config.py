@@ -60,6 +60,12 @@ class EmulatorConfig:
     # PRNG seed; 0 means draw fresh entropy
     seed: int = 0
 
+    # rows of inert padding appended to the pixel plane so H shards evenly
+    # over a device mesh (pad pixels have huge thresholds / zero noise rates
+    # and never emit; per-frame RNG draws stay at the LOGICAL shape so
+    # padded multi-chip runs remain bit-exact vs single-device)
+    pad_rows: int = 0
+
     # run the sequential core as the fused Pallas scan kernel when eligible
     # (no refractory/SCIDVS/CSDVS; single device — Pallas calls don't SPMD-
     # partition, so mesh-sharded runs disable this)

@@ -176,6 +176,26 @@ def _update_csdvs_euler(
     return h
 
 
+def _logical_shape(cfg: EmulatorConfig, shape: Tuple[int, int]) -> Tuple[int, int]:
+    """The pre-padding pixel plane shape (see EmulatorConfig.pad_rows)."""
+    return (shape[0] - cfg.pad_rows, shape[1])
+
+
+def _pad_plane(cfg: EmulatorConfig, x: jnp.ndarray, value=0) -> jnp.ndarray:
+    """Append cfg.pad_rows constant rows to the second-to-last axis."""
+    if cfg.pad_rows == 0:
+        return x
+    widths = [(0, 0)] * (x.ndim - 2) + [(0, cfg.pad_rows), (0, 0)]
+    return jnp.pad(x, widths, constant_values=value)
+
+
+def _slice_logical(cfg: EmulatorConfig, x: jnp.ndarray) -> jnp.ndarray:
+    """Drop the pad rows (inverse of `_pad_plane`)."""
+    if cfg.pad_rows == 0 or x is None:
+        return x
+    return x[..., : x.shape[-2] - cfg.pad_rows, :]
+
+
 def _scidvs_dvdt(v: jnp.ndarray, tau: jnp.ndarray) -> jnp.ndarray:
     """SCIDVS highpass decay rate: sinh conductance (reference emulator.py:58-84)."""
     efold = 1.0 / 0.7
@@ -220,8 +240,11 @@ def emulator_step(
 
     pr_noise = state.photoreceptor_noise_arr
     if cfg.photoreceptor_noise:
-        noise = params.photoreceptor_noise_vrms * jax.random.normal(
-            k_pr, log_new.shape, dtype=jnp.float32
+        noise = params.photoreceptor_noise_vrms * _pad_plane(
+            cfg,
+            jax.random.normal(
+                k_pr, _logical_shape(cfg, log_new.shape), dtype=jnp.float32
+            ),
         )
         pr_noise = low_pass_filter(noise, pr_noise, None, delta_time, cfg.cutoff_hz)
 
@@ -247,6 +270,7 @@ def emulator_step(
             cfg.leak_jitter_fraction,
             params.noise_rate_array,
             k_leak,
+            logical_rows=_logical_shape(cfg, base.shape)[0] if cfg.pad_rows else 0,
         )
 
     photoreceptor = cfg.scidvs_gain * scidvs_highpass if cfg.scidvs else lp
@@ -287,10 +311,12 @@ def emulator_step(
             cfg.shot_noise_rate_hz,
             delta_time,
             cfg.shot_noise_inten_factor,
-            inten01,
-            params.pos_thres_pre_prob,
-            params.neg_thres_pre_prob,
+            _slice_logical(cfg, inten01),
+            _slice_logical(cfg, params.pos_thres_pre_prob),
+            _slice_logical(cfg, params.neg_thres_pre_prob),
         )
+        shot_on = _pad_plane(cfg, shot_on)
+        shot_off = _pad_plane(cfg, shot_off)
         # shot events reset the pixel memory to the current photoreceptor
         # value (reference emulator.py:940-942)
         base = jnp.where(shot_on | shot_off, lp, base)

@@ -38,6 +38,28 @@ def run_interpolated_pipeline(
 ) -> None:
     from tqdm import tqdm
 
+    # --slomo_use_saved: replay a recorded interpolated stream (skips the
+    # model entirely), or record one during this run
+    cache_writer = None
+    if getattr(args, "slomo_use_saved", False) and args.input is not None:
+        from v2e_tpu.models.slomo_cache import (
+            SlomoCacheReader,
+            SlomoCacheWriter,
+            cache_path_for,
+        )
+
+        cpath = cache_path_for(args, src_frame_interval, output_height,
+                               output_width)
+        if SlomoCacheReader.usable(cpath):
+            logger.info(f"replaying saved SloMo frames from {cpath}")
+            _replay_cached(
+                cpath, args, emulator, renderer, exposure_mode,
+                output_width, output_height, stats, feed_renderer,
+            )
+            return
+        cache_writer = SlomoCacheWriter(cpath, output_height, output_width)
+        logger.info(f"recording SloMo frames to {cpath}")
+
     slomo = SuperSloMo(
         model=args.slomo_model,
         auto_upsample=auto_upsample,
@@ -77,7 +99,8 @@ def run_interpolated_pipeline(
 
     fused = (
         FusedConverter(slomo, emulator)
-        if FusedConverter.usable(slomo, emulator, slomo_writer is not None)
+        if cache_writer is None
+        and FusedConverter.usable(slomo, emulator, slomo_writer is not None)
         else None
     )
     if fused is not None:
@@ -146,12 +169,17 @@ def run_interpolated_pipeline(
 
                 enqueue(emulator.submit_batch(interp, times))
 
-                if slomo_writer is not None:
-                    import cv2
-
+                if slomo_writer is not None or cache_writer is not None:
                     host = np.asarray(interp).astype(np.uint8)
-                    for fr in host:
-                        slomo_writer.write(cv2.cvtColor(fr, cv2.COLOR_GRAY2BGR))
+                    if cache_writer is not None:
+                        cache_writer.append(host, times)
+                    if slomo_writer is not None:
+                        import cv2
+
+                        for fr in host:
+                            slomo_writer.write(
+                                cv2.cvtColor(fr, cv2.COLOR_GRAY2BGR)
+                            )
 
                 stats.n_frames += n_out
                 if stats.first_ts is None:
@@ -187,11 +215,63 @@ def run_interpolated_pipeline(
         orig_writer.release()
     if slomo_writer is not None:
         slomo_writer.release()
+    if cache_writer is not None:
+        cache_writer.finalize(slomo.avg_upsampling_factor)
     logger.info(
         f"SloMo average upsampling factor: {slomo.avg_upsampling_factor:.1f}"
     )
     if getattr(args, "slomo_stats_plot", False) and stats_u:
         _save_slomo_stats_plot(args.output_folder, stats_u)
+
+
+def _replay_cached(
+    cpath, args, emulator, renderer, exposure_mode, output_width,
+    output_height, stats, feed_renderer,
+) -> None:
+    """Feed a recorded interpolated stream straight into the emulator
+    (--slomo_use_saved second run: no model load, no UNets)."""
+    from tqdm import tqdm
+
+    from v2e_tpu.emulator.pipeline import ChunkPipeline
+    from v2e_tpu.models.slomo_cache import SlomoCacheReader
+
+    reader = SlomoCacheReader(cpath)
+    pipeline = ChunkPipeline(
+        emulator,
+        lambda ev, lab, off: feed_renderer(
+            renderer, ev, off, exposure_mode,
+            output_height, output_width, args.skip_video_output,
+        ),
+    )
+    slomo_writer = None
+    if not args.skip_video_output and args.vid_slomo:
+        from v2e_tpu.utils.video import video_writer
+
+        slomo_writer = video_writer(
+            os.path.join(args.output_folder, args.vid_slomo),
+            output_height, output_width, frame_rate=args.avi_frame_rate,
+        )
+    pbar = tqdm(total=reader.n, desc="dvs (saved slomo)", unit="fr")
+    for frames, times in reader.chunks(args.chunk_size):
+        pipeline.push(frames, times)
+        if slomo_writer is not None:
+            import cv2
+
+            for fr in frames.astype(np.uint8):
+                slomo_writer.write(cv2.cvtColor(fr, cv2.COLOR_GRAY2BGR))
+        stats.n_frames += frames.shape[0]
+        if stats.first_ts is None:
+            stats.first_ts = times[0]
+        stats.last_ts = times[-1]
+        pbar.update(frames.shape[0])
+    pipeline.close()
+    pbar.close()
+    if slomo_writer is not None:
+        slomo_writer.release()
+    logger.info(
+        f"SloMo average upsampling factor (saved): {reader.avg_upsampling:.1f}"
+    )
+    reader.close()
 
 
 def _save_slomo_stats_plot(output_folder: str, stats_u) -> None:

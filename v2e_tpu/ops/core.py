@@ -101,6 +101,7 @@ def subtract_leak_current(
     leak_jitter_fraction: float,
     noise_rate_array: jnp.ndarray,
     key: jax.Array,
+    logical_rows: int = 0,
 ) -> jnp.ndarray:
     """Leak the memorized value downward to generate leak (ON) events.
 
@@ -108,8 +109,20 @@ def subtract_leak_current(
     per-frame Gaussian jitter (reference emulator_utils.py:114-134).  The
     reference draws fresh ``randn`` per frame from global torch RNG; here the
     caller threads an explicit PRNG key.
+
+    ``logical_rows``: when the plane carries inert mesh-padding rows
+    (EmulatorConfig.pad_rows), the jitter draw uses the logical (pre-pad)
+    shape so results stay bit-exact vs the unpadded run; pad rows get zero
+    jitter (their rate FPN is zero anyway).
     """
-    rand = jax.random.normal(key, noise_rate_array.shape, dtype=jnp.float32)
+    shape = noise_rate_array.shape
+    if logical_rows and logical_rows < shape[0]:
+        rand = jax.random.normal(
+            key, (logical_rows, shape[1]), dtype=jnp.float32
+        )
+        rand = jnp.pad(rand, ((0, shape[0] - logical_rows), (0, 0)))
+    else:
+        rand = jax.random.normal(key, shape, dtype=jnp.float32)
     curr_leak_rate = leak_rate_hz * noise_rate_array * (1.0 - leak_jitter_fraction * rand)
     delta_leak = delta_time * curr_leak_rate * pos_thres
     return base_log_frame - delta_leak

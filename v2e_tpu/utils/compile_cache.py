@@ -61,6 +61,20 @@ def enable_persistent_cache(logger=None) -> str | None:
     cache_dir = base + "-" + host_feature_tag()
     import jax
 
+    if (
+        jax.default_backend() == "cpu"
+        and "V2E_COMPILATION_CACHE" not in os.environ
+    ):
+        # XLA:CPU persists ahead-of-time machine code, and its loader flags
+        # a feature mismatch on EVERY reuse (the compile-side feature list
+        # carries pseudo-features like +prefer-no-scatter that host
+        # detection never reports), drowning stderr in spurious
+        # could-SIGILL errors.  CPU runs (tests, dryruns) recompile cheaply;
+        # the cache's real value is the TPU path, where executables are
+        # device code and host ISA is irrelevant.  Opt back in explicitly
+        # with V2E_COMPILATION_CACHE=<dir>.
+        return None
+
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
