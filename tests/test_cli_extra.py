@@ -214,6 +214,25 @@ class TestMultiDevice:
         ev2 = np.loadtxt(tmp_path / "b" / "out" / "ev.txt", comments="#")
         np.testing.assert_array_equal(ev1, ev2)
 
+    def test_pixel_mode_pads_nondivisor_device_count(self, tmp_path, small_video):
+        """--devices 6 with H=64 (64 % 6 != 0): inert row padding shards
+        over all 6 chips and the stream stays bit-exact (VERDICT r2 #6)."""
+        import jax
+
+        if len(jax.devices()) < 6:
+            pytest.skip("needs 6 virtual devices")
+        rc1 = run(tmp_path / "a", [
+            "-i", small_video, "--disable_slomo", "--dvs_emulator_seed", "3",
+        ])
+        rc2 = run(tmp_path / "b", [
+            "-i", small_video, "--disable_slomo", "--dvs_emulator_seed", "3",
+            "--devices", "6", "--parallel_mode", "pixel",
+        ])
+        assert rc1 == 0 and rc2 == 0
+        ev1 = np.loadtxt(tmp_path / "a" / "out" / "ev.txt", comments="#")
+        ev2 = np.loadtxt(tmp_path / "b" / "out" / "ev.txt", comments="#")
+        np.testing.assert_array_equal(ev1, ev2)
+
     def test_segment_mode_runs_and_is_close(self, tmp_path, small_video):
         import jax
 

@@ -141,10 +141,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 
 def _make_mesh_from_args(args, output_height):
-    """Build the conversion mesh for --devices > 1 (None for single-chip)."""
+    """Build the conversion mesh for --devices > 1 (None for single-chip).
+
+    Returns (mesh, mode, pad_rows)."""
     devices = getattr(args, "devices", 1) or 1
     if devices <= 1:
-        return None, "pixel"
+        return None, "pixel", 0
     import jax
 
     avail = len(jax.devices())
@@ -154,42 +156,56 @@ def _make_mesh_from_args(args, output_height):
         )
         devices = avail
     if devices <= 1:
-        return None, "pixel"
+        return None, "pixel", 0
     mode = getattr(args, "parallel_mode", "pixel")
     if mode == "segment":
         from v2e_tpu.parallel.convert import make_segment_mesh
 
-        return make_segment_mesh(devices), mode
+        return make_segment_mesh(devices), mode, 0
 
-    # pixel mode shards image rows: the row count must divide the spatial
-    # axis, so use the largest divisor of H that fits the device budget
+    # pixel mode shards image rows over the 'spatial' mesh axis; when H is
+    # not a multiple of the device count, inert pad rows (which never emit
+    # and leave the logical pixels bit-exact, EmulatorConfig.pad_rows) round
+    # it up so every chip gets an equal shard and none idle
     import numpy as _np
     from jax.sharding import Mesh
 
     H = output_height or 260
-    s = max(d for d in range(1, devices + 1) if H % d == 0)
-    if s <= 1:
-        logger.warning(
-            f"--devices {devices}: no divisor of height {H} > 1; "
-            "running single-device (try --parallel_mode segment)"
-        )
-        return None, "pixel"
-    if s < devices:
-        logger.warning(
-            f"--devices {devices}: height {H} shards over {s} devices "
-            f"(largest divisor); {devices - s} devices idle"
+    pad = (-H) % devices
+    if pad and getattr(args, "cs_lambda_pixels", None):
+        # the CSDVS surround diffusion would couple into the pad rows: fall
+        # back to the largest divisor of H instead of padding
+        s = max(d for d in range(1, devices + 1) if H % d == 0)
+        if s <= 1:
+            logger.warning(
+                f"--devices {devices}: CSDVS forbids row padding and no "
+                f"divisor of height {H} > 1; running single-device"
+            )
+            return None, "pixel", 0
+        if s < devices:
+            logger.warning(
+                f"--devices {devices}: CSDVS forbids row padding; height "
+                f"{H} shards over {s} devices, {devices - s} idle"
+            )
+        devices, pad = s, 0
+    if pad:
+        logger.info(
+            f"padding height {H} -> {H + pad} with inert rows to shard "
+            f"evenly over {devices} devices"
         )
     mesh = Mesh(
-        _np.array(jax.devices()[:s]).reshape(1, s), ("data", "spatial")
+        _np.array(jax.devices()[:devices]).reshape(1, devices),
+        ("data", "spatial"),
     )
-    return mesh, mode
+    return mesh, mode, pad
 
 
 def _make_emulator(args, output_folder, output_width, output_height):
-    mesh, parallel_mode = _make_mesh_from_args(args, output_height)
+    mesh, parallel_mode, pad_rows = _make_mesh_from_args(args, output_height)
     em = EventEmulator(
         mesh=mesh,
         parallel_mode=parallel_mode,
+        pad_rows=pad_rows,
         segment_warmup=getattr(args, "segment_warmup", 8),
         compaction_capacity_hint=args.compaction_capacity,
         pos_thres=args.pos_thres,

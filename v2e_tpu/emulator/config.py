@@ -103,6 +103,12 @@ class EmulatorConfig:
         return self.shot_noise_rate_hz > 0 and not self.photoreceptor_noise
 
     def validate(self) -> None:
+        if self.pad_rows and self.csdvs_enabled:
+            raise ValueError(
+                "pad_rows is incompatible with the center-surround DVS: the "
+                "surround diffusion would couple logical pixels to the pad "
+                "rows (use a divisor device count instead)"
+            )
         if self.photoreceptor_noise:
             if self.shot_noise_rate_hz == 0:
                 raise ValueError(

@@ -114,6 +114,7 @@ class EventEmulator:
         parallel_mode: str = "pixel",
         segment_warmup: int = 8,
         n_segments: Optional[int] = None,
+        pad_rows: int = 0,
     ):
         """`mesh`: optional jax.sharding.Mesh for multi-chip conversion.
 
@@ -162,11 +163,19 @@ class EventEmulator:
             probe=record_single_pixel_states,
             emit_states=emit_states,
         )
-        if mesh is not None:
+        if mesh is not None or pad_rows:
             import dataclasses
 
-            # Pallas kernels don't SPMD-partition over a mesh
-            self.cfg = dataclasses.replace(self.cfg, use_pallas_scan=False)
+            # Pallas kernels don't SPMD-partition over a mesh (and the scan
+            # kernel's RNG is not pad-aware)
+            self.cfg = dataclasses.replace(
+                self.cfg, use_pallas_scan=False, pad_rows=int(pad_rows)
+            )
+            if pad_rows and parallel_mode == "segment":
+                raise ValueError(
+                    "pad_rows applies to pixel-plane sharding only "
+                    "(segment mode shards time, not rows)"
+                )
         if parallel_mode not in ("pixel", "segment"):
             raise ValueError(f"parallel_mode {parallel_mode!r} must be 'pixel' or 'segment'")
         if mesh is not None and parallel_mode == "segment":
@@ -459,6 +468,11 @@ class EventEmulator:
                 [self._tail_times, np.asarray(times[start:], np.float64)]
             )[-(W + 1):]
         else:
+            if self.cfg.pad_rows:
+                # inert rows so H shards evenly (see EmulatorConfig.pad_rows)
+                chunk = jnp.pad(
+                    chunk, ((0, 0), (0, self.cfg.pad_rows), (0, 0))
+                )
             if self.mesh is not None:
                 from v2e_tpu.parallel.mesh import shard_emulator_args
 
@@ -508,7 +522,7 @@ class EventEmulator:
                 "submit_batch_fused needs an initialized emulator (feed the "
                 "first chunk through submit_batch)"
             )
-        if self.mesh is not None:
+        if self.mesh is not None or self.cfg.pad_rows:
             raise RuntimeError("fused submission is single-device only")
         times = np.asarray(times, dtype=np.float64)
         if self.frame_counter and times[0] < self.t_previous:
@@ -679,6 +693,8 @@ class EventEmulator:
         from v2e_tpu.utils.video import video_writer
 
         for name, stack in outs_np["states"].items():
+            if self.cfg.pad_rows:
+                stack = stack[:, : stack.shape[1] - self.cfg.pad_rows]
             lo, hi = MODEL_STATES[name]
             if name not in self._video_writers:
                 fn = os.path.join(self.output_folder or ".", name + ".avi")
@@ -764,7 +780,7 @@ class EventEmulator:
         self.num_events_total = self.num_events_on + self.num_events_off
         self._capacity = int(sc[5])
         if self.output_height is None:
-            self.output_height, self.output_width = H, W
+            self.output_height, self.output_width = H - self.cfg.pad_rows, W
         logger.info(
             f"restored emulator state from {path} "
             f"(t={self.t_previous:.4f}s, {self.frame_counter} frames)"

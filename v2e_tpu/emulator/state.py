@@ -75,7 +75,7 @@ def init_state(
     log frame — for CSDVS the surround initializes equal to the photoreceptor
     so the initial center-minus-surround base is zero (emulator.py:713-715).
     """
-    shape = first_frame.shape
+    shape = first_frame.shape  # logical (pre-padding) pixel plane
     k_pos, k_neg, k_rate, k_tau, key = jax.random.split(key, 5)
 
     first_frame = first_frame.astype(jnp.float32)
@@ -111,6 +111,21 @@ def init_state(
         )
     elif cfg.scidvs:
         scidvs_tau = jnp.full(shape, cfg.scidvs_tau_s, dtype=jnp.float32)
+
+    if cfg.pad_rows:
+        # inert mesh-padding rows (EmulatorConfig.pad_rows): all RNG above
+        # drew at the logical shape, so the logical pixels of a padded run
+        # are bit-exact vs an unpadded one.  Pad pixels can never emit:
+        # thresholds are enormous and every noise-rate map is zero.
+        pad = lambda x, v=0.0: jnp.pad(
+            x, ((0, cfg.pad_rows), (0, 0)), constant_values=v
+        )
+        pos, neg = pad(pos, 1e9), pad(neg, 1e9)
+        rate = pad(rate)
+        lp = pad(lp)
+        if scidvs_tau is not None:
+            scidvs_tau = pad(scidvs_tau, 1.0)
+        shape = (shape[0] + cfg.pad_rows, shape[1])
 
     params = EmulatorParams(
         pos_thres=pos,
