@@ -100,16 +100,29 @@ def main() -> int:
     collector = ThreadPoolExecutor(1)
     chunk_counter = [0]
 
+    DIAG = bool(int(os.environ.get("V2E_BENCH_DIAG", "0")))
+    diag = {"submit": [], "collect": [], "drain_wait": []}
+
+    def _timed_collect(handle):
+        t = time.perf_counter()
+        out = emulator.collect(handle)
+        diag["collect"].append(time.perf_counter() - t)
+        return out
+
     def submit(c):
         chunk = src[c * B : c * B + B + 1]
         times = (c * B + np.arange(B * U, dtype=np.float64) / U) * src_interval
+        t = time.perf_counter()
         handle = fused.submit(chunk, times)
+        diag["submit"].append(time.perf_counter() - t)
         if handle is not None:
-            pending.append((collector.submit(emulator.collect, handle), handle))
+            pending.append((collector.submit(_timed_collect, handle), handle))
 
     def drain_one(counters=None):
         fut, handle = pending.popleft()
+        t = time.perf_counter()
         events, _, _ = fut.result()
+        diag["drain_wait"].append(time.perf_counter() - t)
         fused.note_collected(handle)
         pc = chunk_counter[0]
         chunk_counter[0] += 1
@@ -159,6 +172,16 @@ def main() -> int:
         )
 
     collector.shutdown()
+    if DIAG:
+        for name, xs in diag.items():
+            if xs:
+                xs = np.asarray(xs)
+                print(
+                    f"# diag {name}: n={len(xs)} p50={np.median(xs)*1e3:.1f}ms "
+                    f"p90={np.percentile(xs, 90)*1e3:.1f}ms "
+                    f"sum={xs.sum():.2f}s",
+                    file=sys.stderr,
+                )
     # reference best case: 50x slower than real time on GTX-1050
     vs_baseline = rt_factor / (1.0 / 50.0)
     print(json.dumps({
