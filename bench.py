@@ -77,7 +77,9 @@ def main() -> int:
     print(f"# device: {dev}", file=sys.stderr)
 
     slomo = SuperSloMo(model=None, auto_upsample=False, upsampling_factor=U,
-                       batch_size=B)
+                       batch_size=B,
+                       warp_precision=os.environ.get(
+                           "V2E_WARP_PRECISION", "3pass"))
     emulator = EventEmulator(
         pos_thres=0.2, neg_thres=0.2, sigma_thres=0.03,
         cutoff_hz=300.0, leak_rate_hz=0.01, shot_noise_rate_hz=0.001,

@@ -7,8 +7,11 @@ the tunneled device); we report the per-variant median of the rounds.
 
 Usage: python benchmarks/sweep_wpack.py [N=96]
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -32,19 +35,21 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(N, H, W, 12)).astype(np.float32))
 
-    dense = jax.jit(lambda p, v: unet_apply_io_nhwc(p, v, dt))
-    wpack = jax.jit(lambda p, v: unet_apply_io_wpack(p, v, dt))
+    # block_until_ready alone has been observed returning early through the
+    # axon tunnel; a scalar fetch is a real sync
+    dense = jax.jit(lambda p, v: jnp.sum(unet_apply_io_nhwc(p, v, dt)))
+    wpack = jax.jit(lambda p, v: jnp.sum(unet_apply_io_wpack(p, v, dt)))
 
     variants = {"dense": (dense, params), "wpack": (wpack, pp)}
 
     # compile + warm 3x each
     for name, (fn, p) in variants.items():
         t0 = time.perf_counter()
-        fn(p, x).block_until_ready()
+        float(fn(p, x))
         print(f"# {name}: compile+first {time.perf_counter()-t0:.1f}s",
               file=sys.stderr)
         for _ in range(3):
-            fn(p, x).block_until_ready()
+            float(fn(p, x))
 
     # interleaved measurement rounds
     ROUNDS, REPS = 5, 3
@@ -52,9 +57,9 @@ def main():
     for r in range(ROUNDS):
         for name, (fn, p) in variants.items():
             t0 = time.perf_counter()
-            for _ in range(REPS):
-                out = fn(p, x)
-            out.block_until_ready()
+            outs = [fn(p, x) for _ in range(REPS)]  # queue back to back
+            for o in outs:
+                float(o)  # one real sync at the end of the queue
             times[name].append((time.perf_counter() - t0) / REPS)
 
     for name, xs in times.items():

@@ -277,3 +277,37 @@ class TestModes:
 
         e1, e2 = run(), run()
         np.testing.assert_array_equal(e1, e2)
+
+
+class TestSelectOccupied:
+    """Two-phase word-packed compaction select == first-k set indices."""
+
+    @pytest.mark.parametrize(
+        "total,cap,dens",
+        [(160 * 89960, 262144, 0.007), (1024, 256, 0.3), (4096, 8192, 0.1),
+         (1000, 64, 0.5), (89960, 16384, 0.0)],
+    )
+    def test_matches_flatnonzero(self, total, cap, dens):
+        import jax.numpy as jnp
+
+        from v2e_tpu.emulator.core import _select_occupied
+
+        rng = np.random.default_rng(total % 97)
+        occ = jnp.asarray(rng.random(total) < dens)
+        idx = np.asarray(_select_occupied(occ, cap))
+        ref = np.flatnonzero(np.asarray(occ))[:cap].astype(np.int32)
+        ref = np.concatenate([ref, np.full(cap - len(ref), total, np.int32)])
+        np.testing.assert_array_equal(idx, ref)
+
+    def test_clustered_overflowing_words(self):
+        """Dense clusters (every bit of some words set) and word overflow."""
+        import jax.numpy as jnp
+
+        from v2e_tpu.emulator.core import _select_occupied
+
+        occ = np.zeros(4096, bool)
+        occ[100:400] = True  # solid run spanning many full words
+        occ[4000:4090] = True
+        idx = np.asarray(_select_occupied(jnp.asarray(occ), 256))
+        ref = np.flatnonzero(occ)[:256].astype(np.int32)
+        np.testing.assert_array_equal(idx, ref)

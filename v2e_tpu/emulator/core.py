@@ -435,6 +435,56 @@ def count_occupied(cfg: EmulatorConfig, outs: Dict[str, jnp.ndarray]) -> jnp.nda
     return jnp.sum(occ.astype(jnp.int32))
 
 
+def _select_occupied(occ: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """First `capacity` set indices of the [total] bool mask, ascending;
+    fill entries carry `total`.
+
+    Two-phase word-packed select: a straight top_k over all cells is a
+    full device sort (~33 ms at 14M cells on v5e).  Packing the occupancy
+    of 8 consecutive cells into one key (word_idx*256 + bitmask — ordered
+    identically to word_idx, since the bits only perturb within a word)
+    shrinks the first sort 8x; the selected words then expand into at most
+    8*capacity candidate cells for a second, much smaller top_k.  Bit
+    arithmetic only — no device gathers.  Correctness: occupied words <=
+    occupied cells, so a word never falls off the first select while the
+    cell capacity still has room.
+    """
+    total = occ.shape[0]
+    PACK = 8
+    if (
+        total % PACK
+        or (total // PACK + 1) * (1 << PACK) >= 2**31
+        or capacity >= total
+    ):
+        # small/odd planes: single-stage select
+        iota = jax.lax.iota(jnp.int32, total)
+        neg = jnp.where(occ, -iota, -total)
+        k = min(capacity, total)
+        idx = -jax.lax.top_k(neg, k)[0]
+        if k < capacity:
+            idx = jnp.concatenate(
+                [idx, jnp.full((capacity - k,), total, jnp.int32)]
+            )
+        return idx
+    total_w = total // PACK
+    bits = occ.reshape(total_w, PACK).astype(jnp.int32)
+    patt = jnp.sum(bits * (1 << jnp.arange(PACK, dtype=jnp.int32)), axis=1)
+    iota_w = jax.lax.iota(jnp.int32, total_w)
+    key = jnp.where(
+        patt > 0, -(iota_w * (1 << PACK) + patt), -(total_w * (1 << PACK))
+    )
+    k1 = min(capacity, total_w)
+    sel = -jax.lax.top_k(key, k1)[0]  # ascending occupied words
+    w_idx = sel >> PACK
+    w_patt = sel & ((1 << PACK) - 1)
+    # expand: candidate cell j of word w is valid iff bit j set
+    j = jnp.arange(PACK, dtype=jnp.int32)[None, :]
+    cand = w_idx[:, None] * PACK + j  # [k1, PACK]
+    valid = (w_patt[:, None] >> j) & 1
+    neg2 = jnp.where(valid > 0, -cand, -total).reshape(-1)
+    return -jax.lax.top_k(neg2, capacity)[0]
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def compact_chunk(
     cfg: EmulatorConfig, outs: Dict[str, jnp.ndarray], capacity: int
@@ -460,20 +510,7 @@ def compact_chunk(
         on = outs["shot_on"].reshape(-1)
         off = outs["shot_off"].reshape(-1)
         occ = occ | on | off
-    # top_k-based stream compaction: the k smallest of (occupied ? iota :
-    # total) are the occupied indices in ascending order, fill entries
-    # carry `total`.  Same measured cost as a full lax.sort on current
-    # XLA:TPU (~33 ms at 14M cells on v5e) but states the actual intent
-    # (select-k) so future TopK lowerings can win; ~3x faster than
-    # jnp.nonzero's lowering either way.
-    iota = jax.lax.iota(jnp.int32, total)
-    neg = jnp.where(occ, -iota, -total)
-    k = min(capacity, total)
-    idx = -jax.lax.top_k(neg, k)[0]
-    if k < capacity:  # tiny planes: pad with fill entries
-        idx = jnp.concatenate(
-            [idx, jnp.full((capacity - k,), total, jnp.int32)]
-        )
+    idx = _select_occupied(occ, capacity)
     valid = idx < total
     safe = jnp.minimum(idx, total - 1)
     out = {

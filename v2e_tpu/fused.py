@@ -57,11 +57,11 @@ def fused_chunk(
     """frames u8/f32[B+1,H,W] + rel_times f32[B*U] -> (state, outs, packed).
 
     statics = (H, W, U, max_group, compute_dtype, use_pallas_warp,
-    warp_max_disp, quantize); packed additionally carries the chunk's max
-    flow magnitude (see `unpack_max_flow`).
+    warp_max_disp, quantize, warp_precision); packed additionally carries
+    the chunk's max flow magnitude (see `unpack_max_flow`).
     """
     (H, W, U, max_group, compute_dtype, use_pallas_warp, warp_max_disp,
-     quantize) = statics
+     quantize, warp_precision) = statics
     x = preprocess_frames(frames, snap32(H), snap32(W))
     I0, I1 = x[:-1], x[1:]
     flow_out = unet_apply(
@@ -69,7 +69,8 @@ def fused_chunk(
     )
     interp = interpolate_pairs(
         flow_params, interp_params, I0, I1, U, max_group, compute_dtype,
-        use_pallas_warp, warp_max_disp, False, flow_out=flow_out,
+        use_pallas_warp, warp_max_disp, False, warp_precision,
+        flow_out=flow_out,
     )
     dvs = postprocess_frames(interp, H, W, quantize)
     state, outs, packed = emulate_and_compact_impl(
@@ -143,7 +144,7 @@ class FusedConverter:
                               and self._disp) else slomo.warp_max_disp
         statics = (
             H, W, U, slomo.max_group, slomo.compute_dtype,
-            slomo.use_pallas_warp, disp, True,
+            slomo.use_pallas_warp, disp, True, slomo.warp_precision,
         )
         slomo.upsampling_sum += U
         slomo.upsampling_samples += 1

@@ -57,6 +57,7 @@ def warp(
     flow: jnp.ndarray,
     use_pallas: bool = False,
     max_disp: int = 32,
+    precision: str = "3pass",
 ) -> jnp.ndarray:
     """Backwarp dispatcher: XLA gather formulation or the Pallas MXU kernel.
 
@@ -64,6 +65,9 @@ def warp(
     (one-hot matmuls instead of ~20ns/element gathers) and exact for flows
     within ``max_disp``; the XLA path is exact for any flow and is the
     default off-TPU.
+
+    precision: kernel matmul precision — "1pass" (plain bf16, ~4e-3 abs
+    error: one 8-bit DN), "3pass" (bf16x3, ~1e-5), or a lax.Precision.
     """
     if not use_pallas:
         return backwarp(img, flow)
@@ -74,7 +78,7 @@ def warp(
     if max_disp <= 32:
         from v2e_tpu.ops.pallas.warp import bilinear_warp_pallas
 
-        out = bilinear_warp_pallas(img3, flow3, max_disp)
+        out = bilinear_warp_pallas(img3, flow3, max_disp, precision=precision)
     else:
         # fast motion: the tiled kernel supports large per-tile base
         # displacements (quantized) with a small residual window
@@ -91,6 +95,7 @@ def warp_planar(
     v: jnp.ndarray,
     use_pallas: bool = False,
     max_disp: int = 32,
+    precision: str = "3pass",
 ) -> jnp.ndarray:
     """`warp` for single-plane images with separate flow planes.
 
@@ -98,4 +103,4 @@ def warp_planar(
     interpolation chain in models/slomo.py.
     """
     flow = jnp.stack([u, v], axis=1)
-    return warp(img[:, None], flow, use_pallas, max_disp)[:, 0]
+    return warp(img[:, None], flow, use_pallas, max_disp, precision)[:, 0]

@@ -66,6 +66,7 @@ def run_interpolated_pipeline(
         upsampling_factor=upsampling_factor,
         batch_size=args.batch_size,
         allow_random=getattr(args, "allow_random_slomo", False),
+        warp_precision=getattr(args, "warp_precision", "3pass"),
     )
 
     write_video = not args.skip_video_output

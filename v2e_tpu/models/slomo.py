@@ -90,7 +90,7 @@ def max_flow_speed(flow_out: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.max(sp))
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def interpolate_pairs(
     flow_params,
     interp_params,
@@ -102,6 +102,7 @@ def interpolate_pairs(
     use_pallas_warp: bool = False,
     warp_max_disp: int = 32,
     use_s2d: bool = False,
+    warp_precision: str = "3pass",
     flow_out: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Interpolate U intermediate frames for each pair in the batch.
@@ -125,7 +126,7 @@ def interpolate_pairs(
         return _interpolate_pairs_planar(
             flow_params, interp_params, I0, I1, upsampling_factor,
             max_group, compute_dtype, use_pallas_warp, warp_max_disp,
-            flow_out,
+            flow_out, warp_precision,
         )
     unet = _unet_impl(use_s2d)
     if flow_out is None:
@@ -169,7 +170,7 @@ def interpolate_pairs(
         g01 = warp(
             jnp.concatenate([I0g, I1g]),
             jnp.concatenate([F_t_0, F_t_1]),
-            use_pallas_warp, warp_max_disp,
+            use_pallas_warp, warp_max_disp, warp_precision,
         )
         g0, g1 = g01[: g * B], g01[g * B :]
         # cast each part to the compute dtype BEFORE the concat: the casts
@@ -193,7 +194,7 @@ def interpolate_pairs(
         g01f = warp(
             jnp.concatenate([I0g, I1g]),
             jnp.concatenate([F_t_0_f, F_t_1_f]),
-            use_pallas_warp, warp_max_disp,
+            use_pallas_warp, warp_max_disp, warp_precision,
         )
         g0f, g1f = g01f[: g * B], g01f[g * B :]
         w0 = (1.0 - t) * V0
@@ -230,7 +231,7 @@ def _group_split(U: int, B: int, max_group: int):
 
 def _interpolate_pairs_planar(
     flow_params, interp_params, I0, I1, U, max_group, compute_dtype,
-    use_pallas_warp, warp_max_disp, flow_out,
+    use_pallas_warp, warp_max_disp, flow_out, warp_precision="3pass",
 ):
     """The dense interpolation chain on PLANAR [N,h,w] tensors.
 
@@ -278,7 +279,7 @@ def _interpolate_pairs_planar(
             jnp.concatenate([P0g, P1g]),
             jnp.concatenate([ut0, ut1]),
             jnp.concatenate([vt0, vt1]),
-            use_pallas_warp, warp_max_disp,
+            use_pallas_warp, warp_max_disp, warp_precision,
         )
         g0, g1 = g01[: g * B], g01[g * B :]
         # 12-channel NHWC stack (cast per plane so the casts fuse into the
@@ -304,7 +305,7 @@ def _interpolate_pairs_planar(
             jnp.concatenate([P0g, P1g]),
             jnp.concatenate([ut0f, ut1f]),
             jnp.concatenate([vt0f, vt1f]),
-            use_pallas_warp, warp_max_disp,
+            use_pallas_warp, warp_max_disp, warp_precision,
         )
         g0f, g1f = g01f[: g * B], g01f[g * B :]
         w0 = (1.0 - t) * V0
@@ -383,6 +384,7 @@ class SuperSloMo:
         allow_random: bool = False,
         use_s2d: Optional[bool] = None,
         adaptive_disp: bool = True,
+        warp_precision: str = "3pass",
     ):
         if not auto_upsample and (
             not isinstance(upsampling_factor, int) or upsampling_factor < 2
@@ -409,6 +411,10 @@ class SuperSloMo:
         self.warp_max_disp = warp_max_disp
         # flow-bucketed warp windows (see _choose_disp); per-bucket compiles
         self.adaptive_disp = adaptive_disp
+        # Pallas warp matmul precision: "3pass" (bf16x3, ~1e-5 abs) or
+        # "1pass" (plain bf16, ~4e-3 abs -- about one 8-bit DN; halves the
+        # warp's MXU passes).  See ops/pallas/warp.py.
+        self.warp_precision = warp_precision
         self.last_disp: Optional[int] = None  # most recent warp window
         if use_s2d is None:
             # space-to-depth UNet: moves the low-channel full-res convs onto
@@ -534,6 +540,7 @@ class SuperSloMo:
                 I0[s : s + pair_slice], I1[s : s + pair_slice], U,
                 self.max_group, self.compute_dtype,
                 self.use_pallas_warp, max_disp, self.use_s2d,
+                self.warp_precision,
                 flow_out=flow_out[s : s + pair_slice],
             )
             yield postprocess_frames(interp, H, W, quantize), s

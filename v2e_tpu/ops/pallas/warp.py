@@ -88,7 +88,17 @@ def _warp_kernel_rowwise(
     B_all = jnp.concatenate(b_blocks, axis=1)  # (RW, bh*bw)
 
     dma.wait()
-    if prec == "3pass":
+    if prec == "1pass":
+        # Plain bf16 inputs, f32 accumulation: one MXU pass.  Error is
+        # bf16 rounding of pixels AND weights (~2^-8 relative, ~4e-3 abs
+        # on 0-1 pixels — the order of one 8-bit DN; the pipeline
+        # quantizes to 8-bit levels downstream).  See --warp_precision.
+        T = jnp.dot(
+            region[:].astype(jnp.bfloat16),
+            B_all.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    elif prec == "3pass":
         # Manual bf16x3: Mosaic lacks Precision.HIGH in-kernel. Error is
         # |Al @ Bl| ~ 2^-16 relative (~1e-5 abs on 0-1 pixels) at half
         # HIGHEST's MXU passes.
