@@ -79,7 +79,8 @@ def main() -> int:
     slomo = SuperSloMo(model=None, auto_upsample=False, upsampling_factor=U,
                        batch_size=B,
                        warp_precision=os.environ.get(
-                           "V2E_WARP_PRECISION", "3pass"))
+                           "V2E_WARP_PRECISION", "3pass"),
+                       unet_impl=os.environ.get("V2E_UNET_IMPL", "dense"))
     emulator = EventEmulator(
         pos_thres=0.2, neg_thres=0.2, sigma_thres=0.03,
         cutoff_hz=300.0, leak_rate_hz=0.01, shot_noise_rate_hz=0.001,

@@ -162,6 +162,12 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                                   "bf16, ~4e-3 -- about one 8-bit DN, "
                                   "halves the warp's MXU passes), highest "
                                   "(bf16x6, f32-exact)")
+    slomo_group.add_argument("--unet_impl", type=str, default="dense",
+                             choices=["dense", "wpack"],
+                             help="UNet execution strategy (same math): "
+                                  "dense = stride-1 NHWC convs; wpack = "
+                                  "width-packed convs that fill all 128 MXU "
+                                  "output lanes on the <128-channel layers")
     slomo_group.add_argument("--slomo_use_saved", action="store_true",
                              help="cache the interpolated frame stream and "
                                   "reuse it on later runs with the same "

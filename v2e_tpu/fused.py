@@ -31,13 +31,13 @@ import numpy as np
 from v2e_tpu.emulator.core import emulate_and_compact_impl
 from v2e_tpu.models.slomo import (
     SuperSloMo,
+    _flow_apply,
     interpolate_pairs,
     max_flow_speed,
     postprocess_frames,
     preprocess_frames,
     snap32,
 )
-from v2e_tpu.models.unet import unet_apply
 
 logger = logging.getLogger(__name__)
 
@@ -57,19 +57,19 @@ def fused_chunk(
     """frames u8/f32[B+1,H,W] + rel_times f32[B*U] -> (state, outs, packed).
 
     statics = (H, W, U, max_group, compute_dtype, use_pallas_warp,
-    warp_max_disp, quantize, warp_precision); packed additionally carries
-    the chunk's max flow magnitude (see `unpack_max_flow`).
+    warp_max_disp, quantize, warp_precision, unet_impl); packed additionally
+    carries the chunk's max flow magnitude (see `unpack_max_flow`).
     """
     (H, W, U, max_group, compute_dtype, use_pallas_warp, warp_max_disp,
-     quantize, warp_precision) = statics
+     quantize, warp_precision, unet_impl) = statics
     x = preprocess_frames(frames, snap32(H), snap32(W))
     I0, I1 = x[:-1], x[1:]
-    flow_out = unet_apply(
+    flow_out = _flow_apply(unet_impl)(
         flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
     )
     interp = interpolate_pairs(
         flow_params, interp_params, I0, I1, U, max_group, compute_dtype,
-        use_pallas_warp, warp_max_disp, False, warp_precision,
+        use_pallas_warp, warp_max_disp, False, warp_precision, unet_impl,
         flow_out=flow_out,
     )
     dvs = postprocess_frames(interp, H, W, quantize)
@@ -145,6 +145,7 @@ class FusedConverter:
         statics = (
             H, W, U, slomo.max_group, slomo.compute_dtype,
             slomo.use_pallas_warp, disp, True, slomo.warp_precision,
+            slomo.unet_impl,
         )
         slomo.upsampling_sum += U
         slomo.upsampling_samples += 1

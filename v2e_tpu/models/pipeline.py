@@ -67,6 +67,7 @@ def run_interpolated_pipeline(
         batch_size=args.batch_size,
         allow_random=getattr(args, "allow_random_slomo", False),
         warp_precision=getattr(args, "warp_precision", "3pass"),
+        unet_impl=getattr(args, "unet_impl", "dense"),
     )
 
     write_video = not args.skip_video_output

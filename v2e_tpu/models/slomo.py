@@ -70,13 +70,31 @@ def _unet_impl(use_s2d):
     return unet_apply_s2d
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
+def _flow_apply(unet_impl: str):
+    """NCHW flow-UNet forward for a (static) unet_impl."""
+    if unet_impl == "wpack":
+        from v2e_tpu.models.unet_wpack import unet_apply_wpack
+
+        return unet_apply_wpack
+    return unet_apply
+
+
+def _interp_apply_nhwc(unet_impl: str):
+    """NHWC-io interp-UNet forward for a (static) unet_impl."""
+    if unet_impl == "wpack":
+        from v2e_tpu.models.unet_wpack import unet_apply_io_wpack
+
+        return unet_apply_io_wpack
+    return unet_apply_io_nhwc
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
 def compute_flow(
     flow_params, I0: jnp.ndarray, I1: jnp.ndarray, compute_dtype=jnp.bfloat16,
-    use_s2d: bool = False,
+    use_s2d: bool = False, unet_impl: str = "dense",
 ) -> jnp.ndarray:
     """Run the flow UNet on a batch of normalized pairs. Returns [B,4,h,w]."""
-    apply = _unet_impl(use_s2d)
+    apply = _unet_impl(use_s2d) if use_s2d else _flow_apply(unet_impl)
     return apply(
         flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
     )
@@ -90,7 +108,7 @@ def max_flow_speed(flow_out: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.max(sp))
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
 def interpolate_pairs(
     flow_params,
     interp_params,
@@ -103,6 +121,7 @@ def interpolate_pairs(
     warp_max_disp: int = 32,
     use_s2d: bool = False,
     warp_precision: str = "3pass",
+    unet_impl: str = "dense",
     flow_out: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Interpolate U intermediate frames for each pair in the batch.
@@ -126,7 +145,7 @@ def interpolate_pairs(
         return _interpolate_pairs_planar(
             flow_params, interp_params, I0, I1, upsampling_factor,
             max_group, compute_dtype, use_pallas_warp, warp_max_disp,
-            flow_out, warp_precision,
+            flow_out, warp_precision, unet_impl,
         )
     unet = _unet_impl(use_s2d)
     if flow_out is None:
@@ -232,6 +251,7 @@ def _group_split(U: int, B: int, max_group: int):
 def _interpolate_pairs_planar(
     flow_params, interp_params, I0, I1, U, max_group, compute_dtype,
     use_pallas_warp, warp_max_disp, flow_out, warp_precision="3pass",
+    unet_impl="dense",
 ):
     """The dense interpolation chain on PLANAR [N,h,w] tensors.
 
@@ -244,7 +264,7 @@ def _interpolate_pairs_planar(
     from v2e_tpu.models.backwarp import warp_planar
 
     if flow_out is None:
-        flow_out = unet_apply(
+        flow_out = _flow_apply(unet_impl)(
             flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
         )
     B = I0.shape[0]
@@ -293,7 +313,9 @@ def _interpolate_pairs_planar(
             ],
             axis=-1,
         )
-        intrp = unet_apply_io_nhwc(interp_params, stack, compute_dtype)
+        intrp = _interp_apply_nhwc(unet_impl)(
+            interp_params, stack, compute_dtype
+        )
         intrp = intrp.astype(jnp.float32)
         ut0f = intrp[..., 0] + ut0
         vt0f = intrp[..., 1] + vt0
@@ -385,6 +407,7 @@ class SuperSloMo:
         use_s2d: Optional[bool] = None,
         adaptive_disp: bool = True,
         warp_precision: str = "3pass",
+        unet_impl: str = "dense",
     ):
         if not auto_upsample and (
             not isinstance(upsampling_factor, int) or upsampling_factor < 2
@@ -423,6 +446,14 @@ class SuperSloMo:
             # interp chunk), so it stays opt-in
             use_s2d = False
         self.use_s2d = use_s2d
+        if unet_impl not in ("dense", "wpack"):
+            raise ValueError(f"unet_impl={unet_impl!r} not in (dense, wpack)")
+        if unet_impl == "wpack" and use_s2d:
+            raise ValueError("unet_impl='wpack' and use_s2d are exclusive")
+        # "wpack": width-packed convs for the lane-bound (<128-channel) UNet
+        # layers — exact same math, fills all 128 MXU output lanes (see
+        # models/unet_wpack.py)
+        self.unet_impl = unet_impl
         # bound on materialized interpolated frames per device call: at the
         # Colab-scale ~800x upsampling (reference README.md:38-41) a full
         # batch would be GBs, so pairs are emitted in slices
@@ -451,6 +482,13 @@ class SuperSloMo:
                     "v2e_tpu.models.convert_ckpt)"
                 )
             self.flow_params, self.interp_params = init_random_slomo_params()
+        if unet_impl == "wpack":
+            # precompute the block-Toeplitz packed kernels once (weights are
+            # static for a conversion) so the per-chunk program is scatter-free
+            from v2e_tpu.models.unet_wpack import pack_unet_params
+
+            self.flow_params = pack_unet_params(self.flow_params)
+            self.interp_params = pack_unet_params(self.interp_params)
 
     # ------------------------------------------------------------------
     def choose_upsampling(self, flow_out: jnp.ndarray) -> int:
@@ -518,7 +556,7 @@ class SuperSloMo:
         x = preprocess_frames(frames, h32, w32)
         I0, I1 = x[:-1], x[1:]
         flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype,
-                                self.use_s2d)
+                                self.use_s2d, self.unet_impl)
         U = self.choose_upsampling(flow_out)
         max_disp = self._choose_disp(flow_out, U)
 
@@ -540,7 +578,7 @@ class SuperSloMo:
                 I0[s : s + pair_slice], I1[s : s + pair_slice], U,
                 self.max_group, self.compute_dtype,
                 self.use_pallas_warp, max_disp, self.use_s2d,
-                self.warp_precision,
+                self.warp_precision, self.unet_impl,
                 flow_out=flow_out[s : s + pair_slice],
             )
             yield postprocess_frames(interp, H, W, quantize), s
@@ -553,7 +591,7 @@ class SuperSloMo:
         x = preprocess_frames(frames, h32, w32)
         I0, I1 = x[:-1], x[1:]
         flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype,
-                                self.use_s2d)
+                                self.use_s2d, self.unet_impl)
         U = self.choose_upsampling(flow_out)
         max_disp = self._choose_disp(flow_out, U)
         return U, self._emit_slices(I0, I1, flow_out, U, max_disp, H, W, quantize)
