@@ -52,7 +52,10 @@ class TestMesh:
             shard_batch,
         )
 
-        state, tx = create_train_state(seed=0)
+        # base=8: same topology/losses/shardings at 1/16 the params — a
+        # full-width replicated step spends minutes in all-reduce spin on
+        # the 1-core virtual-8-device backend (see parallel/dryrun.py)
+        state, tx = create_train_state(seed=0, base=8)
         state = replicate_state(mesh, state)
         rng = np.random.default_rng(0)
         B, H, W = 2, 32, 32
@@ -72,7 +75,7 @@ class TestMesh:
         """Single-device sanity: adam on the Super-SloMo loss reduces it."""
         from v2e_tpu.models.train import create_train_state, make_train_step
 
-        state, tx = create_train_state(seed=1, learning_rate=2e-4)
+        state, tx = create_train_state(seed=1, learning_rate=2e-4, base=8)
         rng = np.random.default_rng(1)
         B, H, W = 2, 32, 32
         # trivial static scene: It == I0 == I1 -> easily learnable

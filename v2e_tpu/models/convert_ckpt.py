@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from v2e_tpu.models.unet import Params, UNetSpec, init_unet
+from v2e_tpu.models.unet import Params, UNetSpec, init_unet, init_unet_host
 
 logger = logging.getLogger(__name__)
 
@@ -105,10 +105,26 @@ def load_slomo_params(path: str) -> Tuple[Params, Params]:
     )
 
 
-def init_random_slomo_params(seed: int = 0) -> Tuple[Params, Params]:
-    """Random-initialized model (for benchmarks/tests without the ckpt)."""
+def init_random_slomo_params(
+    seed: int = 0, host: bool = False, base: int = 32
+) -> Tuple[Params, Params]:
+    """Random-initialized model (for benchmarks/tests without the ckpt).
+
+    host=True draws with numpy instead of jax.random: one host RNG pass
+    instead of ~90 tiny compiled device programs — on a 1-core CPU backend
+    with 8 virtual devices those compiles alone cost ~1 min (the multi-chip
+    dryrun's use case).  The two inits draw different values; both match
+    torch Conv2d's +-1/sqrt(fan_in) uniform law.
+    """
+    fspec, ispec = FLOW_SPEC, INTERP_SPEC
+    if base != 32:
+        fspec = UNetSpec(fspec.in_channels, fspec.out_channels, base)
+        ispec = UNetSpec(ispec.in_channels, ispec.out_channels, base)
+    if host:
+        rng = np.random.default_rng(seed)
+        return init_unet_host(rng, fspec), init_unet_host(rng, ispec)
     k1, k2 = jax.random.split(jax.random.key(seed))
-    return init_unet(k1, FLOW_SPEC), init_unet(k2, INTERP_SPEC)
+    return init_unet(k1, fspec), init_unet(k2, ispec)
 
 
 def main(argv=None) -> int:

@@ -40,8 +40,13 @@ class TrainState:
     step: jnp.ndarray
 
 
-def create_train_state(seed: int = 0, learning_rate: float = 1e-4) -> Tuple[TrainState, optax.GradientTransformation]:
-    flow_p, interp_p = init_random_slomo_params(seed)
+def create_train_state(
+    seed: int = 0,
+    learning_rate: float = 1e-4,
+    host_init: bool = False,
+    base: int = 32,
+) -> Tuple[TrainState, optax.GradientTransformation]:
+    flow_p, interp_p = init_random_slomo_params(seed, host=host_init, base=base)
     tx = optax.adam(learning_rate)
     opt_state = tx.init((flow_p, interp_p))
     return TrainState(flow_p, interp_p, opt_state, jnp.zeros((), jnp.int32)), tx

@@ -30,30 +30,38 @@ import jax.numpy as jnp
 Params = Dict[str, Dict[str, jnp.ndarray]]
 
 # (layer name, in_ch, out_ch, kernel) for each conv in definition order.
-def unet_conv_specs(in_ch: int, out_ch: int) -> Sequence[Tuple[str, int, int, int]]:
+# `base` scales every channel width (32 = the reference architecture);
+# smaller bases keep the exact topology at tiny widths (multi-chip dryrun).
+def unet_conv_specs(
+    in_ch: int, out_ch: int, base: int = 32
+) -> Sequence[Tuple[str, int, int, int]]:
+    b = base
     specs = [
-        ("conv1", in_ch, 32, 7),
-        ("conv2", 32, 32, 7),
+        ("conv1", in_ch, b, 7),
+        ("conv2", b, b, 7),
     ]
-    down_cfg = [(32, 64, 5), (64, 128, 3), (128, 256, 3), (256, 512, 3), (512, 512, 3)]
+    down_cfg = [(b, 2 * b, 5), (2 * b, 4 * b, 3), (4 * b, 8 * b, 3),
+                (8 * b, 16 * b, 3), (16 * b, 16 * b, 3)]
     for i, (ci, co, k) in enumerate(down_cfg, 1):
         specs.append((f"down{i}.conv1", ci, co, k))
         specs.append((f"down{i}.conv2", co, co, k))
-    up_cfg = [(512, 512), (512, 256), (256, 128), (128, 64), (64, 32)]
+    up_cfg = [(16 * b, 16 * b), (16 * b, 8 * b), (8 * b, 4 * b),
+              (4 * b, 2 * b), (2 * b, b)]
     for i, (ci, co) in enumerate(up_cfg, 1):
         specs.append((f"up{i}.conv1", ci, co, 3))
         specs.append((f"up{i}.conv2", 2 * co, co, 3))
-    specs.append(("conv3", 32, out_ch, 3))
+    specs.append(("conv3", b, out_ch, 3))
     return specs
 
 
 class UNetSpec:
     """Static description of one UNet (channel counts)."""
 
-    def __init__(self, in_channels: int, out_channels: int):
+    def __init__(self, in_channels: int, out_channels: int, base: int = 32):
         self.in_channels = in_channels
         self.out_channels = out_channels
-        self.conv_specs = unet_conv_specs(in_channels, out_channels)
+        self.base = base
+        self.conv_specs = unet_conv_specs(in_channels, out_channels, base)
 
 
 def init_unet(key: jax.Array, spec: UNetSpec, dtype=jnp.float32) -> Params:
@@ -67,6 +75,26 @@ def init_unet(key: jax.Array, spec: UNetSpec, dtype=jnp.float32) -> Params:
         params[name] = {
             "w": jax.random.uniform(kw, (co, ci, ksz, ksz), dtype, -bound, bound),
             "b": jax.random.uniform(kb, (co,), dtype, -bound, bound),
+        }
+    return params
+
+
+def init_unet_host(rng, spec: UNetSpec, dtype=jnp.float32) -> Params:
+    """Numpy-drawn init (same +-1/sqrt(fan_in) uniform law as init_unet):
+    no device programs, so it stays fast on oversubscribed CPU backends."""
+    import numpy as np
+
+    params: Params = {}
+    for name, ci, co, ksz in spec.conv_specs:
+        bound = 1.0 / math.sqrt(ci * ksz * ksz)
+        params[name] = {
+            "w": jnp.asarray(
+                rng.uniform(-bound, bound, (co, ci, ksz, ksz)).astype(np.float32),
+                dtype=dtype,
+            ),
+            "b": jnp.asarray(
+                rng.uniform(-bound, bound, (co,)).astype(np.float32), dtype=dtype
+            ),
         }
     return params
 
