@@ -107,8 +107,82 @@ class TestFusedEqualsStaged:
                            upsampling_factor=U, batch_size=B)
         auto = SuperSloMo(model=None, auto_upsample=True, batch_size=B)
         assert FusedConverter.usable(fixed, em, writes_slomo_video=False)
-        assert not FusedConverter.usable(auto, em, writes_slomo_video=False)
+        # auto-U fuses too (lookahead bucket choice) since round 4
+        assert FusedConverter.usable(auto, em, writes_slomo_video=False)
         assert not FusedConverter.usable(fixed, em, writes_slomo_video=True)
+
+    def test_auto_u_lookahead_matches_forced_staged(self, tmp_path):
+        """Auto-upsampling fused path: per-chunk U comes from the previous
+        chunk's max flow (one-chunk lookahead).  Replaying the SAME U
+        sequence through the staged path must reproduce the event stream
+        event-for-event, including across a bucket transition."""
+        import jax.numpy as jnp
+
+        def scaled_slomo(**kw):
+            # amplify the random flow UNet's output (random-weight flow is
+            # ~0.01 px) so max-flow — and hence the auto-U bucket — sits in
+            # a controllable 5-7 px range that crosses the 6->8 bucket edge
+            # as the input amplitude ramps (calibrated by measurement)
+            s = SuperSloMo(model=None, batch_size=B, allow_random=True, **kw)
+            c3 = s.flow_params["conv3"]
+            s.flow_params = dict(s.flow_params)
+            s.flow_params["conv3"] = {"w": c3["w"] * 200.0, "b": c3["b"] * 0.0}
+            return s
+
+        def make_ramp_src(n):
+            # amplitude ramps up over time -> flow magnitude (random
+            # weights) drifts -> the auto-U bucket transitions mid-run
+            yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+            frames = np.empty((n, H, W), np.float32)
+            for i in range(n):
+                amp = 20.0 + 90.0 * i / n
+                frames[i] = np.clip(
+                    120 + amp * np.sin((xx + 2.3 * i) / 6.0) * np.cos(yy / 5.0),
+                    0, 255,
+                )
+            return frames
+
+        n_chunks = 5
+        src = make_ramp_src(n_chunks * B + 1)
+
+        # ---- run A: fused auto-U (sequential collect -> exact 1-lookahead)
+        slomo_a = scaled_slomo(auto_upsample=True)
+        em_a = EventEmulator(**emulator_kwargs(tmp_path, "auto"))
+        fused = FusedConverter(slomo_a, em_a)
+        events_a, us, fused_flags = [], [], []
+        for c in range(n_chunks):
+            chunk = src[c * B : c * B + B + 1]
+            handle, u, times = fused.submit_window(chunk, c * B, SRC_INTERVAL)
+            us.append(u)
+            fused_flags.append(bool(handle and handle.get("fused")))
+            if handle is not None:
+                ev, _, _ = em_a.collect(handle)
+                fused.note_collected(handle)
+                events_a.append(ev)
+        em_a.cleanup()
+        events_a = np.concatenate(events_a)
+
+        assert len(set(us)) >= 2, f"no bucket transition exercised: {us}"
+        assert not fused_flags[0] and all(fused_flags[1:]), fused_flags
+
+        # ---- run B: staged path forced to the recorded U sequence ----
+        em_b = EventEmulator(**emulator_kwargs(tmp_path, "forced"))
+        events_b = []
+        for c in range(n_chunks):
+            chunk = src[c * B : c * B + B + 1]
+            slomo_b = scaled_slomo(auto_upsample=False, upsampling_factor=us[c])
+            interp, u = slomo_b.interpolate_batch(jnp.asarray(chunk), H, W)
+            assert u == us[c]
+            times = (c * B + np.arange(B * u, dtype=np.float64) / u) * SRC_INTERVAL
+            handle = em_b.submit_batch(interp, times)
+            if handle is not None:
+                ev, _, _ = em_b.collect(handle)
+                events_b.append(ev)
+        em_b.cleanup()
+        events_b = np.concatenate(events_b)
+
+        assert events_a.shape[0] > 50
+        np.testing.assert_array_equal(events_a, events_b)
 
     def test_cli_fused_matches_staged_pipeline(self, tmp_path):
         """End-to-end through the CLI: the fused pipeline (default for

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -32,6 +33,7 @@ from v2e_tpu.emulator.core import emulate_and_compact_impl
 from v2e_tpu.models.slomo import (
     SuperSloMo,
     _flow_apply,
+    bucket_upsampling_factor,
     interpolate_pairs,
     max_flow_speed,
     postprocess_frames,
@@ -91,54 +93,105 @@ def unpack_max_flow(scalars: np.ndarray) -> float:
 
 
 class FusedConverter:
-    """Drives fixed-U conversion through `fused_chunk`, one program per chunk.
+    """Drives conversion through `fused_chunk`, one program per chunk.
 
     Wraps a `SuperSloMo` engine and an `EventEmulator`: the first chunk runs
     the staged path (which initializes the emulator state from the first
     interpolated frame — bit-identical to the staged pipeline), subsequent
     chunks are single-dispatch.  Use `usable()` to check the configuration
-    qualifies (fixed U, single device, no host-side consumers of the
-    interpolated frames).
+    qualifies (single device, no host-side consumers of the interpolated
+    frames).
+
+    Auto-upsampling mode (`--auto_timestamp_resolution`, the CLI default)
+    is fused via a ONE-CHUNK-LOOKAHEAD bucket choice: every fused chunk
+    returns its max flow magnitude in the packed scalar fetch, and the next
+    chunk's U is the bucketed ceil of that (the identical formula the
+    staged path applies to the CURRENT chunk's flow,
+    slomo.py:choose_upsampling; the reference syncs the host on every
+    chunk's flow instead, slomo.py:352-379).  Flow varies smoothly between
+    ~0.5 s chunks and buckets round U UP by ~1.5x, so the lag almost never
+    changes the chosen bucket — and each bucket's program compiles once
+    (the ladder bounds the set to ~19, slomo.py:46-55).
     """
 
     def __init__(self, slomo: SuperSloMo, emulator):
         self.slomo = slomo
         self.emulator = emulator
         self._disp: Optional[int] = None  # lookahead warp window
+        self._next_u: Optional[int] = None  # lookahead auto-U bucket
 
     @staticmethod
     def usable(slomo: SuperSloMo, emulator, writes_slomo_video: bool) -> bool:
         return (
-            not slomo.auto_upsample
-            and not slomo.use_s2d
+            not slomo.use_s2d
             and emulator.mesh is None
             and emulator.dvs_h5 is None  # h5 sink stores the DVS frames
             and not writes_slomo_video  # vid_slomo needs frames on host
         )
 
+    def submit_window(
+        self, src_frames: np.ndarray, pair_index: int, src_frame_interval: float
+    ):
+        """Submit one window of source frames [B+1,H,W] whose first pair is
+        global pair `pair_index`; interpolated timestamps are built from the
+        chosen U.  Handles fixed AND auto upsampling (lookahead bucket).
+
+        Returns (collect handle or None, U, times f64[(B)*U])."""
+        slomo = self.slomo
+        n_pairs = src_frames.shape[0] - 1
+        U = self._next_u if slomo.auto_upsample else slomo.upsampling_factor
+
+        def make_times(u: int) -> np.ndarray:
+            rel = np.arange(n_pairs * u, dtype=np.float64) / u
+            return (pair_index + rel) * src_frame_interval
+
+        em = self.emulator
+        if em.state is None or U is None or n_pairs * U > slomo.max_out_frames:
+            handle, U = self._submit_staged(src_frames, make_times)
+            return handle, U, make_times(U)
+        times = make_times(U)
+        slomo.last_upsampling_factor = U
+        slomo.upsampling_sum += U
+        slomo.upsampling_samples += 1
+        return self._submit_fused(src_frames, times, U), U, times
+
     def submit(self, src_frames: np.ndarray, times: np.ndarray):
-        """Submit one chunk of source frames [B+1,H,W] with interpolated
+        """Fixed-U API: submit a chunk with precomputed interpolated
         timestamps `times` [B*U] (absolute f64).  Returns a collect handle
         (emulator.collect) or None (pure-init chunk)."""
-        em = self.emulator
         slomo = self.slomo
         U = slomo.upsampling_factor
         n_out = (src_frames.shape[0] - 1) * U
         if times.shape[0] != n_out:
             raise ValueError(f"times {times.shape} != (B)*U = {n_out}")
+        if self.emulator.state is None or n_out > slomo.max_out_frames:
+            handle, _ = self._submit_staged(src_frames, lambda u: times)
+            return handle
+        slomo.upsampling_sum += U
+        slomo.upsampling_samples += 1
+        return self._submit_fused(src_frames, times, U)
 
-        if em.state is None or n_out > slomo.max_out_frames:
-            # staged fallback: first chunk (state init needs the first
-            # interpolated frame on host) or Colab-scale U (pair slicing
-            # keeps device memory flat)
-            H, W = em.output_height, em.output_width
-            if H is None:
-                H, W = src_frames.shape[1:]
-            interp, u = slomo.interpolate_batch(jnp.asarray(src_frames), H, W)
-            if self._disp is None and slomo.use_pallas_warp:
-                self._disp = slomo.last_disp or slomo.warp_max_disp
-            return em.submit_batch(interp, times)
+    def _submit_staged(self, src_frames, make_times):
+        """Staged fallback: first chunk (state init needs the first
+        interpolated frame on host; auto-U needs this chunk's own flow) or
+        Colab-scale U (pair slicing keeps device memory flat).  Returns
+        (handle, U)."""
+        em, slomo = self.emulator, self.slomo
+        H, W = em.output_height, em.output_width
+        if H is None:
+            H, W = src_frames.shape[1:]
+        interp, U = slomo.interpolate_batch(jnp.asarray(src_frames), H, W)
+        if self._disp is None and slomo.use_pallas_warp:
+            self._disp = slomo.last_disp or slomo.warp_max_disp
+        if slomo.auto_upsample:
+            # staged handles carry no max-flow scalar, so refresh the
+            # lookahead here from this chunk's own choice (otherwise a
+            # Colab-scale U prediction would keep every later chunk staged)
+            self._next_u = U
+        return em.submit_batch(interp, make_times(U)), U
 
+    def _submit_fused(self, src_frames, times, U: int):
+        em, slomo = self.emulator, self.slomo
         H, W = em.output_height, em.output_width
         disp = self._disp if (slomo.use_pallas_warp and slomo.adaptive_disp
                               and self._disp) else slomo.warp_max_disp
@@ -147,23 +200,32 @@ class FusedConverter:
             slomo.use_pallas_warp, disp, True, slomo.warp_precision,
             slomo.unet_impl,
         )
-        slomo.upsampling_sum += U
-        slomo.upsampling_samples += 1
-        handle = em.submit_batch_fused(
+        return em.submit_batch_fused(
             fused_chunk, statics, slomo.flow_params, slomo.interp_params,
             src_frames, times,
         )
-        return handle
 
     def note_collected(self, handle) -> None:
-        """Feed back the chunk's max flow into the lookahead warp window.
-        Call after emulator.collect(handle) (the scalars are fetched there)."""
+        """Feed back the chunk's max flow into the lookahead warp window and
+        (auto mode) the next chunk's U bucket.  Call after
+        emulator.collect(handle) (the scalars are fetched there)."""
         mf = handle.get("max_flow")
-        if mf is None or not self.slomo.use_pallas_warp:
+        if mf is None:
+            return
+        slomo = self.slomo
+        if slomo.auto_upsample:
+            # same formula choose_upsampling applies to the current chunk's
+            # flow (slomo.py): at least one interpolated frame per pixel of
+            # motion, floored by any explicit --timestamp_resolution
+            u = int(math.ceil(mf))
+            if slomo.upsampling_factor is not None:
+                u = max(u, slomo.upsampling_factor)
+            self._next_u = bucket_upsampling_factor(max(u, 2))
+        if not slomo.use_pallas_warp:
             return
         need = mf * 1.25 + 2.0
         for b in SuperSloMo.DISP_BUCKETS:
-            if need <= b <= self.slomo.warp_max_disp:
+            if need <= b <= slomo.warp_max_disp:
                 self._disp = b
                 return
-        self._disp = self.slomo.warp_max_disp
+        self._disp = slomo.warp_max_disp

@@ -145,13 +145,14 @@ def run_interpolated_pipeline(
         n_pairs = chunk.shape[0] - 1
 
         if fused is not None:
-            U = slomo.upsampling_factor
-            n_out = n_pairs * U
-            rel = np.arange(n_out, dtype=np.float64) / U
-            times = (pair_index + rel) * src_frame_interval
+            # fixed U, or auto-U via the lookahead bucket (fused.py): either
+            # way the chunk runs as one device program with no host sync
+            handle, U, times = fused.submit_window(
+                chunk, pair_index, src_frame_interval
+            )
             stats_u.append((pair_index * src_frame_interval, U))
-            enqueue(fused.submit(chunk, times))
-            stats.n_frames += n_out
+            enqueue(handle)
+            stats.n_frames += n_pairs * U
             if stats.first_ts is None:
                 stats.first_ts = times[0]
             stats.last_ts = times[-1]
