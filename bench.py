@@ -103,7 +103,9 @@ def main() -> int:
     collector = ThreadPoolExecutor(1)
     chunk_counter = [0]
 
-    DIAG = bool(int(os.environ.get("V2E_BENCH_DIAG", "0")))
+    # default-on: the graded JSON alone can't distinguish "device got
+    # slower" from "link got slower" — the stderr percentiles can
+    DIAG = bool(int(os.environ.get("V2E_BENCH_DIAG", "1")))
     diag = {"submit": [], "collect": [], "drain_wait": []}
 
     def _timed_collect(handle):
