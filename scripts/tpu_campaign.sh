@@ -1,7 +1,10 @@
 #!/bin/bash
-# Round-3 TPU measurement campaign: run the headline bench across the new
-# execution knobs (unet impl, warp precision), the isolated UNet sweep, and
+# TPU measurement campaign: headline bench across the execution knobs plus
 # the 1pass fidelity gate.  Results append to CAMPAIGN.log with timestamps.
+#
+# (Round-4 history: the wpack UNet and conv-form shootouts this script used
+# to run decided AGAINST those impls — wpack 0.835x isolated, s2d 416 vs
+# 316 ms/chunk — and both were deleted; numbers in benchmarks/README.md.)
 #
 # Usage: bash scripts/tpu_campaign.sh [quick]
 #   quick: headline variants only (skip the isolated sweeps)
@@ -17,16 +20,13 @@ run() {
   echo "--- exit=$? ($(date -u +%H:%M:%SZ))" | tee -a "$LOG"
 }
 
-# headline grid: defaults, wpack UNet, 1pass warp, both
-run "bench dense/3pass"  python bench.py
-run "bench wpack/3pass"  env V2E_UNET_IMPL=wpack python bench.py
-run "bench dense/1pass"  env V2E_WARP_PRECISION=1pass python bench.py
-run "bench wpack/1pass"  env V2E_UNET_IMPL=wpack V2E_WARP_PRECISION=1pass python bench.py
+# headline grid: default (1pass), 3pass fallback
+run "bench default/1pass" python bench.py
+run "bench 3pass"         env V2E_WARP_PRECISION=3pass python bench.py
 
 if [ "$QUICK" != "quick" ]; then
-  run "sweep_wpack (isolated UNet)" python benchmarks/sweep_wpack.py
-  run "warp 1pass fidelity gate"    python scripts/warp_precision_check.py
-  run "conv forms shootout"         python benchmarks/bench_conv_forms.py
+  run "warp 1pass fidelity gate" python scripts/warp_precision_check.py
+  run "isolated UNet sweep"      python benchmarks/sweep_unet.py
 fi
 
 echo; echo "== JSON lines recorded =="

@@ -155,19 +155,14 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                              help="output slomo video (or None)")
     slomo_group.add_argument("--slomo_stats_plot", action="store_true",
                              help="show a plot of slomo statistics")
-    slomo_group.add_argument("--warp_precision", type=str, default="3pass",
+    slomo_group.add_argument("--warp_precision", type=str, default="1pass",
                              choices=["1pass", "3pass", "highest"],
-                             help="TPU warp kernel matmul precision: 3pass "
-                                  "(bf16x3, ~1e-5 abs error), 1pass (plain "
-                                  "bf16, ~4e-3 -- about one 8-bit DN, "
-                                  "halves the warp's MXU passes), highest "
+                             help="TPU warp kernel matmul precision: 1pass "
+                                  "(plain bf16, ~4e-3 abs -- about one "
+                                  "8-bit DN, measured below the event-"
+                                  "stream seed noise floor), 3pass (bf16x3, "
+                                  "~1e-5, 2x the warp MXU passes), highest "
                                   "(bf16x6, f32-exact)")
-    slomo_group.add_argument("--unet_impl", type=str, default="dense",
-                             choices=["dense", "wpack"],
-                             help="UNet execution strategy (same math): "
-                                  "dense = stride-1 NHWC convs; wpack = "
-                                  "width-packed convs that fill all 128 MXU "
-                                  "output lanes on the <128-channel layers")
     slomo_group.add_argument("--slomo_use_saved", action="store_true",
                              help="cache the interpolated frame stream and "
                                   "reuse it on later runs with the same "

@@ -38,6 +38,33 @@ from v2e_tpu.ops.noise import compute_photoreceptor_noise_voltage
 
 logger = logging.getLogger(__name__)
 
+# V2E_COLLECT_DIAG=1: per-phase wall times inside `collect` accumulate here
+# (wait+phase-1 fetch / slice dispatch+phase-2 fetch / host materialization /
+# sink writes) — the coarse bench diag can't attribute the collector's cost.
+COLLECT_DIAG: Dict[str, List[float]] = {}
+_COLLECT_DIAG_ON = bool(int(os.environ.get("V2E_COLLECT_DIAG", "0")))
+
+
+def _diag_mark(phases: Optional[List[Tuple[str, float]]], name: str) -> None:
+    if phases is not None:
+        import time as _time
+
+        phases.append((name, _time.perf_counter()))
+
+
+def collect_diag_summary() -> str:
+    import numpy as _np
+
+    parts = []
+    for name, xs in COLLECT_DIAG.items():
+        a = _np.asarray(xs)
+        parts.append(
+            f"{name}: n={len(a)} p50={_np.median(a)*1e3:.1f}ms "
+            f"p90={_np.percentile(a, 90)*1e3:.1f}ms sum={a.sum():.2f}s"
+        )
+    return "\n".join(parts)
+
+
 # display normalization ranges for model-state video (reference emulator.py:41-50)
 _L255 = float(np.log(255.0))
 MODEL_STATES = {
@@ -227,6 +254,9 @@ class EventEmulator:
             else 16384
         )
         self._np_rng = np.random.default_rng(seed if seed != 0 else None)
+        # last collected occupied-cell count: sizes the submit-time
+        # pre-sliced fetch buffer (see _pre_slice)
+        self._last_nocc: Optional[int] = None
 
         # single pixel probe storage (reference emulator.py:291-302)
         self.record_single_pixel_states = record_single_pixel_states
@@ -492,7 +522,7 @@ class EventEmulator:
             self.state = rebase_state(self.state, jnp.float32(last_rel))
             self.t_origin += last_rel
 
-        return {
+        handle = {
             "outs": outs,
             "packed": packed,
             # arrays clamp to the cell count when the chunk is smaller than
@@ -503,6 +533,8 @@ class EventEmulator:
             "shape": tuple(chunk.shape),
             "frames_for_h5": frames[start:] if self.dvs_h5 is not None else None,
         }
+        self._pre_slice(handle)
+        return handle
 
     def submit_batch_fused(
         self, fused_fn, statics, flow_params, interp_params, frames, times
@@ -550,7 +582,7 @@ class EventEmulator:
             self.state = rebase_state(self.state, jnp.float32(last_rel))
             self.t_origin += last_rel
         H, W = statics[0], statics[1]
-        return {
+        handle = {
             "outs": outs,
             "packed": packed,
             "capacity": int(packed["sparse"]["idx"].shape[0]),
@@ -560,23 +592,72 @@ class EventEmulator:
             "frames_for_h5": None,
             "fused": True,
         }
+        self._pre_slice(handle)
+        return handle
+
+    def _pre_slice(self, handle: Dict) -> None:
+        """Dispatch the phase-2 trim + device->host copies at SUBMIT time.
+
+        Dispatched at collect time, `slice_packed` lands at the BACK of the
+        device queue — behind every in-flight chunk — so a depth-6 pipeline
+        paid ~330 ms per fetch where the link itself needs ~60 ms (measured
+        round 4, V2E_COLLECT_DIAG).  Dispatching it here queues it directly
+        after its producing chunk program, so by collect time the trimmed
+        blob is computed and the fetch pays only the link transfer.  The
+        trim capacity is predicted from the last collected occupancy (next
+        power-of-two over 1.25x; event counts vary a few % chunk to chunk)
+        — a mispredict falls back to the collect-time slice path, it never
+        loses events.  (`copy_to_host_async` would hide the transfer too,
+        but on the tunneled backend it measured 300x SLOWER than a plain
+        blocking fetch — 20 s vs 62 ms for 200 KB — so it is not used.)
+        """
+        n_pred = self._last_nocc
+        if n_pred is None:
+            return
+        pcap = min(
+            _capacity_bucket(int(1.25 * n_pred) + 1), handle["capacity"]
+        )
+        pre = slice_packed(handle["packed"]["sparse"], pcap)
+        handle["pre_sliced"] = (pcap, pre)
 
     def collect(self, handle: Dict):
         """Fetch + materialize a submitted chunk; writes the output sinks.
 
         Returns (events f64[N,4], labels, frame_offsets).  Chunks must be
         collected in submission order (sinks are sequential files).
+
+        Split form for pipelined drivers: `collect(h)` ==
+        `collect_finalize(h, collect_fetch(h))`.  A driver with one fetcher
+        thread and one finalizer thread overlaps chunk N's link fetches
+        with chunk N-1's host materialization (both stages stay in
+        submission order); see bench.py / models/pipeline.py.
         """
+        return self.collect_finalize(handle, self.collect_fetch(handle))
+
+    def collect_fetch(self, handle: Dict) -> Dict:
+        """Stage 1 of `collect`: wait for the device program, fetch the
+        packed scalars + sparse blob over the link (plus any probe/state
+        arrays), and handle capacity-overflow recompaction.  Device/link
+        I/O only — no sink writes — so it may run concurrently with an
+        earlier chunk's `collect_finalize`."""
         dev_packed = handle["packed"]
         has_shot = self.cfg.simple_shot_noise
+        phases: Optional[List[Tuple[str, float]]] = None
+        if _COLLECT_DIAG_ON:
+            import time as _time
+
+            phases = [("start", _time.perf_counter())]
         # phase 1: ONE small fetch (all per-frame scalars + occupancy)
         scalars_np = np.asarray(dev_packed["scalars"])
+        _diag_mark(phases, "wait_phase1")
         if handle.get("fused"):
             # fused chunks append the max-flow magnitude (v2e_tpu.fused)
             handle["max_flow"] = float(scalars_np[-1:].view(np.float32)[0])
             scalars_np = scalars_np[:-1]
         packed = unpack_scalars(scalars_np)
         n_occ = packed["n_occ"]
+        self._last_nocc = max(int(n_occ), 1)
+        pcap, pre = handle.get("pre_sliced", (0, None))
         if n_occ > handle["capacity"]:
             # rare: compaction capacity overflow — recompact the still-
             # device-resident dense outputs at a sufficient capacity
@@ -590,18 +671,50 @@ class EventEmulator:
                 )
             )
             self._capacity = cap
+        elif pre is not None and n_occ <= pcap:
+            # fast path: the submit-time pre-sliced buffer covers the chunk
+            # and its D2H copy has been streaming since the chunk program
+            # finished (see _pre_slice) — typically already host-resident
+            _diag_mark(phases, "slice_dispatch")
+            blob = np.asarray(pre)
+            _diag_mark(phases, "fetch_phase2")
+            packed.update(unpack_sparse_blob(blob, pcap, has_shot))
+            self._capacity = max(
+                self._capacity, _capacity_bucket(2 * max(n_occ, 1))
+            )
         else:
             # phase 2: ONE fetch of only the occupied bucket (not the 2x
             # headroom), serialized into a single buffer
             fetch_cap = min(_capacity_bucket(max(n_occ, 1)), handle["capacity"])
-            fetch_cap = min(fetch_cap, handle["capacity"])
-            blob = np.asarray(slice_packed(dev_packed["sparse"], fetch_cap))
+            sliced = slice_packed(dev_packed["sparse"], fetch_cap)
+            _diag_mark(phases, "slice_dispatch")
+            blob = np.asarray(sliced)
+            _diag_mark(phases, "fetch_phase2")
             packed.update(unpack_sparse_blob(blob, fetch_cap, has_shot))
             # adapt grow-only: each new bucket is a recompile, so never shrink
             self._capacity = max(
                 self._capacity, _capacity_bucket(2 * max(n_occ, 1))
             )
+        fetched = {"packed": packed}
+        if self.cfg.probe is not None:
+            fetched["probe"] = np.asarray(dev_packed["probe"])
+        if self.cfg.emit_states and self.save_dvs_model_state:
+            fetched["states"] = jax.device_get(handle["outs"]["states"])
+        if phases is not None:
+            for (name, t1), (_, t0) in zip(phases[1:], phases[:-1]):
+                COLLECT_DIAG.setdefault(name, []).append(t1 - t0)
+        return fetched
 
+    def collect_finalize(self, handle: Dict, fetched: Dict):
+        """Stage 2 of `collect`: host event materialization + sink writes.
+        Must run in submission order (sinks are sequential files)."""
+        packed = fetched["packed"]
+        n_occ = packed["n_occ"]
+        phases: Optional[List[Tuple[str, float]]] = None
+        if _COLLECT_DIAG_ON:
+            import time as _time
+
+            phases = [("start", _time.perf_counter())]
         F, H, W = handle["shape"]
         times = handle["times"]
         rng = self._np_rng if self.shuffle else None
@@ -621,19 +734,16 @@ class EventEmulator:
             events = np.empty((0, 4), dtype=np.float64)
             labels = np.empty(0, dtype=bool) if self.label_signal_noise else None
             offsets = np.zeros(F + 1, dtype=np.int64)
+        _diag_mark(phases, "materialize")
 
         self.num_events_on += int(np.sum(packed["num_on"]))
         self.num_events_off += int(np.sum(packed["num_off"]))
         self.num_events_total = self.num_events_on + self.num_events_off
 
-        if self.cfg.probe is not None:
-            self._record_probe(
-                {"probe": np.asarray(dev_packed["probe"])}, times
-            )
-        if self.cfg.emit_states and self.save_dvs_model_state:
-            self._handle_state_frames(
-                {"states": jax.device_get(handle["outs"]["states"])}, times
-            )
+        if "probe" in fetched:
+            self._record_probe({"probe": fetched["probe"]}, times)
+        if "states" in fetched:
+            self._handle_state_frames({"states": fetched["states"]}, times)
 
         # sinks
         if self.dvs_h5 is not None and handle["frames_for_h5"] is not None:
@@ -649,6 +759,10 @@ class EventEmulator:
             self.dvs_aedat4.appendEvents(events, signnoise_label=labels)
         if self.dvs_text is not None:
             self.dvs_text.appendEvents(events, signnoise_label=labels)
+        _diag_mark(phases, "sinks")
+        if phases is not None:
+            for (name, t1), (_, t0) in zip(phases[1:], phases[:-1]):
+                COLLECT_DIAG.setdefault(name, []).append(t1 - t0)
 
         return events, labels, offsets
 

@@ -32,7 +32,6 @@ import numpy as np
 from v2e_tpu.emulator.core import emulate_and_compact_impl
 from v2e_tpu.models.slomo import (
     SuperSloMo,
-    _flow_apply,
     bucket_upsampling_factor,
     interpolate_pairs,
     max_flow_speed,
@@ -59,19 +58,21 @@ def fused_chunk(
     """frames u8/f32[B+1,H,W] + rel_times f32[B*U] -> (state, outs, packed).
 
     statics = (H, W, U, max_group, compute_dtype, use_pallas_warp,
-    warp_max_disp, quantize, warp_precision, unet_impl); packed additionally
+    warp_max_disp, quantize, warp_precision); packed additionally
     carries the chunk's max flow magnitude (see `unpack_max_flow`).
     """
     (H, W, U, max_group, compute_dtype, use_pallas_warp, warp_max_disp,
-     quantize, warp_precision, unet_impl) = statics
+     quantize, warp_precision) = statics
     x = preprocess_frames(frames, snap32(H), snap32(W))
     I0, I1 = x[:-1], x[1:]
-    flow_out = _flow_apply(unet_impl)(
+    from v2e_tpu.models.unet import unet_apply
+
+    flow_out = unet_apply(
         flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
     )
     interp = interpolate_pairs(
         flow_params, interp_params, I0, I1, U, max_group, compute_dtype,
-        use_pallas_warp, warp_max_disp, False, warp_precision, unet_impl,
+        use_pallas_warp, warp_max_disp, warp_precision,
         flow_out=flow_out,
     )
     dvs = postprocess_frames(interp, H, W, quantize)
@@ -123,8 +124,7 @@ class FusedConverter:
     @staticmethod
     def usable(slomo: SuperSloMo, emulator, writes_slomo_video: bool) -> bool:
         return (
-            not slomo.use_s2d
-            and emulator.mesh is None
+            emulator.mesh is None
             and emulator.dvs_h5 is None  # h5 sink stores the DVS frames
             and not writes_slomo_video  # vid_slomo needs frames on host
         )
@@ -198,7 +198,6 @@ class FusedConverter:
         statics = (
             H, W, U, slomo.max_group, slomo.compute_dtype,
             slomo.use_pallas_warp, disp, True, slomo.warp_precision,
-            slomo.unet_impl,
         )
         return em.submit_batch_fused(
             fused_chunk, statics, slomo.flow_params, slomo.interp_params,

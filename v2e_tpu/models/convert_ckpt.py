@@ -36,7 +36,12 @@ def _torch_state_to_params(state: Dict[str, "np.ndarray"], spec: UNetSpec) -> Pa
         b = np.asarray(state[f"{name}.bias"])
         if w.shape != (co, ci, k, k):
             raise ValueError(f"{name}: checkpoint shape {w.shape} != {(co, ci, k, k)}")
-        params[name] = {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+        # f32 master copy regardless of storage dtype (the golden fixture
+        # ships f16 to halve the committed size)
+        params[name] = {
+            "w": jnp.asarray(w, dtype=jnp.float32),
+            "b": jnp.asarray(b, dtype=jnp.float32),
+        }
     return params
 
 
@@ -63,6 +68,19 @@ def _npz_to_params(npz, prefix: str, spec: UNetSpec) -> Params:
     return _torch_state_to_params(state, spec)
 
 
+def _specs_for_npz(npz) -> Tuple[UNetSpec, UNetSpec]:
+    """Infer the UNet width scale from the stored first-conv shape.
+
+    `conv1` outputs `base` channels (unet_conv_specs), so a checkpoint
+    trained at a reduced width (train_slomo --base, e.g. the committed
+    golden fixture) self-describes its architecture; base=32 is the
+    reference SuperSloMo39 width."""
+    base = int(npz["flow/conv1.weight"].shape[0])
+    if base == 32:
+        return FLOW_SPEC, INTERP_SPEC
+    return UNetSpec(2, 4, base), UNetSpec(12, 5, base)
+
+
 def load_slomo_params(path: str) -> Tuple[Params, Params]:
     """Load (flow_params, interp_params) from .npz or torch .ckpt.
 
@@ -73,8 +91,9 @@ def load_slomo_params(path: str) -> Tuple[Params, Params]:
     """
     if path.endswith(".npz"):
         npz = np.load(path)
-        return _npz_to_params(npz, "flow", FLOW_SPEC), _npz_to_params(
-            npz, "interp", INTERP_SPEC
+        fspec, ispec = _specs_for_npz(npz)
+        return _npz_to_params(npz, "flow", fspec), _npz_to_params(
+            npz, "interp", ispec
         )
 
     cached = os.path.splitext(path)[0] + ".npz"
@@ -100,8 +119,9 @@ def load_slomo_params(path: str) -> Tuple[Params, Params]:
             )
             return flow, interp
     npz = np.load(cached)
-    return _npz_to_params(npz, "flow", FLOW_SPEC), _npz_to_params(
-        npz, "interp", INTERP_SPEC
+    fspec, ispec = _specs_for_npz(npz)
+    return _npz_to_params(npz, "flow", fspec), _npz_to_params(
+        npz, "interp", ispec
     )
 
 

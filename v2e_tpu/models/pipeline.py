@@ -66,8 +66,7 @@ def run_interpolated_pipeline(
         upsampling_factor=upsampling_factor,
         batch_size=args.batch_size,
         allow_random=getattr(args, "allow_random_slomo", False),
-        warp_precision=getattr(args, "warp_precision", "3pass"),
-        unet_impl=getattr(args, "unet_impl", "dense"),
+        warp_precision=getattr(args, "warp_precision", "1pass"),
     )
 
     write_video = not args.skip_video_output
@@ -108,17 +107,23 @@ def run_interpolated_pipeline(
     if fused is not None:
         logger.info("using fused single-dispatch conversion chunks")
 
-    # deep chunk pipeline with a single collector thread: the device runs
-    # ahead while the host materializes/writes, and device->host fetches
-    # overlap the next submission (critical on remote-attached devices)
+    # deep chunk pipeline with a two-stage ordered collector: the fetcher
+    # thread owns the link (device wait + phase-1/2 fetches), the finalizer
+    # thread owns the host (event materialization + sink writes), so chunk
+    # N's fetch overlaps chunk N-1's materialization and both overlap the
+    # next submission (critical on remote-attached devices)
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     # 6 chunks in flight hides link RTT/fetch jitter on remote-attached
     # devices (bench.py steady-state: 1.70x at depth 2, 1.84x at depth 6)
     DEPTH = 6
-    collector = ThreadPoolExecutor(1)
+    fetcher = ThreadPoolExecutor(1)
+    finalizer = ThreadPoolExecutor(1)
     pending: deque = deque()
+
+    def _finalize(handle, ffut):
+        return emulator.collect_finalize(handle, ffut.result())
 
     def drain_one() -> None:
         fut, handle = pending.popleft()
@@ -133,7 +138,8 @@ def run_interpolated_pipeline(
 
     def enqueue(handle) -> None:
         if handle is not None:
-            pending.append((collector.submit(emulator.collect, handle), handle))
+            ffut = fetcher.submit(emulator.collect_fetch, handle)
+            pending.append((finalizer.submit(_finalize, handle, ffut), handle))
             if len(pending) > DEPTH:
                 drain_one()
 
@@ -211,7 +217,8 @@ def run_interpolated_pipeline(
     process_window()
     while pending:
         drain_one()
-    collector.shutdown()
+    fetcher.shutdown()
+    finalizer.shutdown()
     pbar.close()
 
     if orig_writer is not None:

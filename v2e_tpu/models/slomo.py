@@ -33,7 +33,6 @@ import numpy as np
 from v2e_tpu.models.backwarp import backwarp, warp
 from v2e_tpu.models.convert_ckpt import init_random_slomo_params, load_slomo_params
 from v2e_tpu.models.unet import unet_apply, unet_apply_io_nhwc
-from v2e_tpu.models.unet_s2d import unet_apply_s2d
 
 logger = logging.getLogger(__name__)
 
@@ -60,42 +59,18 @@ def snap32(x: int) -> int:
     return max(32, int(x / 32) * 32)
 
 
-def _unet_impl(use_s2d):
-    """Resolve the UNet forward for a (static) s2d mode: False -> dense,
-    True -> 4-conv phase form, "embedded" -> single phase-embedded conv."""
-    if not use_s2d:
-        return unet_apply
-    if use_s2d == "embedded":
-        return functools.partial(unet_apply_s2d, embedded=True)
-    return unet_apply_s2d
-
-
-def _flow_apply(unet_impl: str):
-    """NCHW flow-UNet forward for a (static) unet_impl."""
-    if unet_impl == "wpack":
-        from v2e_tpu.models.unet_wpack import unet_apply_wpack
-
-        return unet_apply_wpack
-    return unet_apply
-
-
-def _interp_apply_nhwc(unet_impl: str):
-    """NHWC-io interp-UNet forward for a (static) unet_impl."""
-    if unet_impl == "wpack":
-        from v2e_tpu.models.unet_wpack import unet_apply_io_wpack
-
-        return unet_apply_io_wpack
-    return unet_apply_io_nhwc
-
-
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3,))
 def compute_flow(
     flow_params, I0: jnp.ndarray, I1: jnp.ndarray, compute_dtype=jnp.bfloat16,
-    use_s2d: bool = False, unet_impl: str = "dense",
 ) -> jnp.ndarray:
-    """Run the flow UNet on a batch of normalized pairs. Returns [B,4,h,w]."""
-    apply = _unet_impl(use_s2d) if use_s2d else _flow_apply(unet_impl)
-    return apply(
+    """Run the flow UNet on a batch of normalized pairs. Returns [B,4,h,w].
+
+    (Two alternative UNet execution forms — space-to-depth and width-packed
+    lane-packing — were built and measured SLOWER than XLA's dense convs on
+    v5e: s2d 416 vs 316 ms per 160-frame interp chunk in round 2, wpack
+    114.6 vs 95.7 ms per 96-frame forward in round 4.  Both were removed;
+    the shootout harnesses and numbers live in benchmarks/README.md.)"""
+    return unet_apply(
         flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
     )
 
@@ -108,7 +83,7 @@ def max_flow_speed(flow_out: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.max(sp))
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
 def interpolate_pairs(
     flow_params,
     interp_params,
@@ -119,9 +94,7 @@ def interpolate_pairs(
     compute_dtype=jnp.bfloat16,
     use_pallas_warp: bool = False,
     warp_max_disp: int = 32,
-    use_s2d: bool = False,
-    warp_precision: str = "3pass",
-    unet_impl: str = "dense",
+    warp_precision: str = "1pass",
     flow_out: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Interpolate U intermediate frames for each pair in the batch.
@@ -141,95 +114,11 @@ def interpolate_pairs(
     t=(i+0.5)/U between each pair (the reference's half-sample offset,
     slomo.py:405).
     """
-    if not use_s2d:
-        return _interpolate_pairs_planar(
-            flow_params, interp_params, I0, I1, upsampling_factor,
-            max_group, compute_dtype, use_pallas_warp, warp_max_disp,
-            flow_out, warp_precision, unet_impl,
-        )
-    unet = _unet_impl(use_s2d)
-    if flow_out is None:
-        flow_out = unet(
-            flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
-        )
-    F01 = flow_out[:, :2]
-    F10 = flow_out[:, 2:]
-    U = upsampling_factor
-    B = I0.shape[0]
-    ts = (jnp.arange(U, dtype=jnp.float32) + 0.5) / U
-
-    # choose the group split minimizing padded (wasted) UNet forwards while
-    # keeping the device batch g*B near max_group
-    best = None
-    for n in range(1, U + 1):
-        g_cand = -(-U // n)
-        if g_cand * B > max(max_group, B):
-            continue
-        waste = n * g_cand - U
-        key = (waste, n)
-        if best is None or key < best[0]:
-            best = (key, n, g_cand)
-    _, n_groups, g = best
-    pad = n_groups * g - U
-    ts_padded = jnp.concatenate([ts, jnp.full((pad,), 0.5, jnp.float32)])
-    ts_groups = ts_padded.reshape(n_groups, g)
-
-    # tile pair data across the group's time axis: [g*B, ...]
-    I0g = jnp.tile(I0, (g, 1, 1, 1))
-    I1g = jnp.tile(I1, (g, 1, 1, 1))
-    F01g = jnp.tile(F01, (g, 1, 1, 1))
-    F10g = jnp.tile(F10, (g, 1, 1, 1))
-
-    def group(ts_g):
-        t = jnp.repeat(ts_g, B)[:, None, None, None]  # [g*B,1,1,1]
-        tmp = -t * (1.0 - t)
-        F_t_0 = tmp * F01g + (t * t) * F10g
-        F_t_1 = ((1.0 - t) * (1.0 - t)) * F01g + tmp * F10g
-        # warp both directions in one batched call (halves fixed kernel cost)
-        g01 = warp(
-            jnp.concatenate([I0g, I1g]),
-            jnp.concatenate([F_t_0, F_t_1]),
-            use_pallas_warp, warp_max_disp, warp_precision,
-        )
-        g0, g1 = g01[: g * B], g01[g * B :]
-        # cast each part to the compute dtype BEFORE the concat: the casts
-        # fuse into the producers and the 12-channel stack materializes at
-        # half the bytes (the f32 concat was ~30 ms/group on v5e)
-        intrp = unet(
-            interp_params,
-            jnp.concatenate(
-                [
-                    t.astype(compute_dtype)
-                    for t in (I0g, I1g, F01g, F10g, F_t_1, F_t_0, g1, g0)
-                ],
-                axis=1,
-            ),
-            compute_dtype,
-        )
-        F_t_0_f = intrp[:, 0:2] + F_t_0
-        F_t_1_f = intrp[:, 2:4] + F_t_1
-        V0 = jax.nn.sigmoid(intrp[:, 4:5].astype(jnp.float32))
-        V1 = 1.0 - V0
-        g01f = warp(
-            jnp.concatenate([I0g, I1g]),
-            jnp.concatenate([F_t_0_f, F_t_1_f]),
-            use_pallas_warp, warp_max_disp, warp_precision,
-        )
-        g0f, g1f = g01f[: g * B], g01f[g * B :]
-        w0 = (1.0 - t) * V0
-        w1 = t * V1
-        Ft_p = (w0 * g0f + w1 * g1f) / (w0 + w1)
-        return Ft_p.reshape(g, B, 1, *Ft_p.shape[2:])  # [g,B,1,h,w]
-
-    if n_groups == 1:
-        frames = group(ts_groups[0])  # [g,B,1,h,w]
-    else:
-        _, frames = jax.lax.scan(
-            lambda _, tg: (None, group(tg)), None, ts_groups
-        )  # [n_groups,g,B,1,h,w]
-        frames = frames.reshape(n_groups * g, *frames.shape[2:])
-    frames = frames[:U]
-    return jnp.moveaxis(frames, 0, 1)
+    return _interpolate_pairs_planar(
+        flow_params, interp_params, I0, I1, upsampling_factor,
+        max_group, compute_dtype, use_pallas_warp, warp_max_disp,
+        flow_out, warp_precision,
+    )
 
 
 def _group_split(U: int, B: int, max_group: int):
@@ -250,8 +139,7 @@ def _group_split(U: int, B: int, max_group: int):
 
 def _interpolate_pairs_planar(
     flow_params, interp_params, I0, I1, U, max_group, compute_dtype,
-    use_pallas_warp, warp_max_disp, flow_out, warp_precision="3pass",
-    unet_impl="dense",
+    use_pallas_warp, warp_max_disp, flow_out, warp_precision="1pass",
 ):
     """The dense interpolation chain on PLANAR [N,h,w] tensors.
 
@@ -264,7 +152,7 @@ def _interpolate_pairs_planar(
     from v2e_tpu.models.backwarp import warp_planar
 
     if flow_out is None:
-        flow_out = _flow_apply(unet_impl)(
+        flow_out = unet_apply(
             flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
         )
     B = I0.shape[0]
@@ -313,9 +201,7 @@ def _interpolate_pairs_planar(
             ],
             axis=-1,
         )
-        intrp = _interp_apply_nhwc(unet_impl)(
-            interp_params, stack, compute_dtype
-        )
+        intrp = unet_apply_io_nhwc(interp_params, stack, compute_dtype)
         intrp = intrp.astype(jnp.float32)
         ut0f = intrp[..., 0] + ut0
         vt0f = intrp[..., 1] + vt0
@@ -404,10 +290,8 @@ class SuperSloMo:
         warp_max_disp: int = 32,
         max_out_frames: int = 4096,
         allow_random: bool = False,
-        use_s2d: Optional[bool] = None,
         adaptive_disp: bool = True,
-        warp_precision: str = "3pass",
-        unet_impl: str = "dense",
+        warp_precision: str = "1pass",
     ):
         if not auto_upsample and (
             not isinstance(upsampling_factor, int) or upsampling_factor < 2
@@ -434,26 +318,13 @@ class SuperSloMo:
         self.warp_max_disp = warp_max_disp
         # flow-bucketed warp windows (see _choose_disp); per-bucket compiles
         self.adaptive_disp = adaptive_disp
-        # Pallas warp matmul precision: "3pass" (bf16x3, ~1e-5 abs) or
-        # "1pass" (plain bf16, ~4e-3 abs -- about one 8-bit DN; halves the
-        # warp's MXU passes).  See ops/pallas/warp.py.
+        # Pallas warp matmul precision: "1pass" (plain bf16, ~4e-3 abs —
+        # about one 8-bit DN, measured BELOW the seed-change noise floor on
+        # the event stream, scripts/warp_precision_check.py round 4) or
+        # "3pass" (bf16x3, ~1e-5 abs, 2x the warp MXU passes).  See
+        # ops/pallas/warp.py.
         self.warp_precision = warp_precision
         self.last_disp: Optional[int] = None  # most recent warp window
-        if use_s2d is None:
-            # space-to-depth UNet: moves the low-channel full-res convs onto
-            # the MXU, but the 1.31-1.78x MAC overhead + 4-phase dispatch
-            # measured SLOWER end-to-end on v5e (416 vs 316 ms per 160-frame
-            # interp chunk), so it stays opt-in
-            use_s2d = False
-        self.use_s2d = use_s2d
-        if unet_impl not in ("dense", "wpack"):
-            raise ValueError(f"unet_impl={unet_impl!r} not in (dense, wpack)")
-        if unet_impl == "wpack" and use_s2d:
-            raise ValueError("unet_impl='wpack' and use_s2d are exclusive")
-        # "wpack": width-packed convs for the lane-bound (<128-channel) UNet
-        # layers — exact same math, fills all 128 MXU output lanes (see
-        # models/unet_wpack.py)
-        self.unet_impl = unet_impl
         # bound on materialized interpolated frames per device call: at the
         # Colab-scale ~800x upsampling (reference README.md:38-41) a full
         # batch would be GBs, so pairs are emitted in slices
@@ -482,13 +353,6 @@ class SuperSloMo:
                     "v2e_tpu.models.convert_ckpt)"
                 )
             self.flow_params, self.interp_params = init_random_slomo_params()
-        if unet_impl == "wpack":
-            # precompute the block-Toeplitz packed kernels once (weights are
-            # static for a conversion) so the per-chunk program is scatter-free
-            from v2e_tpu.models.unet_wpack import pack_unet_params
-
-            self.flow_params = pack_unet_params(self.flow_params)
-            self.interp_params = pack_unet_params(self.interp_params)
 
     # ------------------------------------------------------------------
     def choose_upsampling(self, flow_out: jnp.ndarray) -> int:
@@ -555,8 +419,7 @@ class SuperSloMo:
         h32, w32 = snap32(H), snap32(W)
         x = preprocess_frames(frames, h32, w32)
         I0, I1 = x[:-1], x[1:]
-        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype,
-                                self.use_s2d, self.unet_impl)
+        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype)
         U = self.choose_upsampling(flow_out)
         max_disp = self._choose_disp(flow_out, U)
 
@@ -577,8 +440,7 @@ class SuperSloMo:
                 self.flow_params, self.interp_params,
                 I0[s : s + pair_slice], I1[s : s + pair_slice], U,
                 self.max_group, self.compute_dtype,
-                self.use_pallas_warp, max_disp, self.use_s2d,
-                self.warp_precision, self.unet_impl,
+                self.use_pallas_warp, max_disp, self.warp_precision,
                 flow_out=flow_out[s : s + pair_slice],
             )
             yield postprocess_frames(interp, H, W, quantize), s
@@ -590,8 +452,7 @@ class SuperSloMo:
         h32, w32 = snap32(H), snap32(W)
         x = preprocess_frames(frames, h32, w32)
         I0, I1 = x[:-1], x[1:]
-        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype,
-                                self.use_s2d, self.unet_impl)
+        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype)
         U = self.choose_upsampling(flow_out)
         max_disp = self._choose_disp(flow_out, U)
         return U, self._emit_slices(I0, I1, flow_out, U, max_disp, H, W, quantize)
