@@ -163,6 +163,15 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                                   "stream seed noise floor), 3pass (bf16x3, "
                                   "~1e-5, 2x the warp MXU passes), highest "
                                   "(bf16x6, f32-exact)")
+    slomo_group.add_argument("--unet_conv", type=str, default="auto",
+                             choices=["auto", "blocked", "dense"],
+                             help="UNet conv execution form: blocked packs "
+                                  "adjacent image columns into the vector "
+                                  "lanes for the lane-bound k>=5 layers "
+                                  "(identical math; ~2.2x faster on those "
+                                  "layers on TPU v5e), dense runs plain "
+                                  "stride-1 convs, auto = blocked on TPU, "
+                                  "dense elsewhere")
     slomo_group.add_argument("--slomo_use_saved", action="store_true",
                              help="cache the interpolated frame stream and "
                                   "reuse it on later runs with the same "

@@ -58,21 +58,22 @@ def fused_chunk(
     """frames u8/f32[B+1,H,W] + rel_times f32[B*U] -> (state, outs, packed).
 
     statics = (H, W, U, max_group, compute_dtype, use_pallas_warp,
-    warp_max_disp, quantize, warp_precision); packed additionally
+    warp_max_disp, quantize, warp_precision, conv_impl); packed additionally
     carries the chunk's max flow magnitude (see `unpack_max_flow`).
     """
     (H, W, U, max_group, compute_dtype, use_pallas_warp, warp_max_disp,
-     quantize, warp_precision) = statics
+     quantize, warp_precision, conv_impl) = statics
     x = preprocess_frames(frames, snap32(H), snap32(W))
     I0, I1 = x[:-1], x[1:]
     from v2e_tpu.models.unet import unet_apply
 
     flow_out = unet_apply(
-        flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
+        flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype,
+        conv_impl,
     )
     interp = interpolate_pairs(
         flow_params, interp_params, I0, I1, U, max_group, compute_dtype,
-        use_pallas_warp, warp_max_disp, warp_precision,
+        use_pallas_warp, warp_max_disp, warp_precision, conv_impl,
         flow_out=flow_out,
     )
     dvs = postprocess_frames(interp, H, W, quantize)
@@ -198,6 +199,7 @@ class FusedConverter:
         statics = (
             H, W, U, slomo.max_group, slomo.compute_dtype,
             slomo.use_pallas_warp, disp, True, slomo.warp_precision,
+            slomo.conv_impl,
         )
         return em.submit_batch_fused(
             fused_chunk, statics, slomo.flow_params, slomo.interp_params,

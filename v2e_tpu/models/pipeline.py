@@ -67,6 +67,7 @@ def run_interpolated_pipeline(
         batch_size=args.batch_size,
         allow_random=getattr(args, "allow_random_slomo", False),
         warp_precision=getattr(args, "warp_precision", "1pass"),
+        conv_impl=getattr(args, "unet_conv", "auto"),
     )
 
     write_video = not args.skip_video_output

@@ -59,19 +59,22 @@ def snap32(x: int) -> int:
     return max(32, int(x / 32) * 32)
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def compute_flow(
     flow_params, I0: jnp.ndarray, I1: jnp.ndarray, compute_dtype=jnp.bfloat16,
+    conv_impl: str = "dense",
 ) -> jnp.ndarray:
     """Run the flow UNet on a batch of normalized pairs. Returns [B,4,h,w].
 
-    (Two alternative UNet execution forms — space-to-depth and width-packed
-    lane-packing — were built and measured SLOWER than XLA's dense convs on
-    v5e: s2d 416 vs 316 ms per 160-frame interp chunk in round 2, wpack
-    114.6 vs 95.7 ms per 96-frame forward in round 4.  Both were removed;
-    the shootout harnesses and numbers live in benchmarks/README.md.)"""
+    (Two alternative WHOLE-UNET execution forms — space-to-depth and
+    width-packed lane-packing — were built and measured SLOWER than XLA's
+    dense convs on v5e: s2d 416 vs 316 ms per 160-frame interp chunk in
+    round 2, wpack 114.6 vs 95.7 ms per 96-frame forward in round 4.  Both
+    were removed; numbers live in benchmarks/README.md.  The per-layer
+    "blocked" form (conv_impl, unet.py:_conv_block) is the one that won.)"""
     return unet_apply(
-        flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
+        flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype,
+        conv_impl,
     )
 
 
@@ -83,7 +86,7 @@ def max_flow_speed(flow_out: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.max(sp))
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8, 9, 10))
 def interpolate_pairs(
     flow_params,
     interp_params,
@@ -95,6 +98,7 @@ def interpolate_pairs(
     use_pallas_warp: bool = False,
     warp_max_disp: int = 32,
     warp_precision: str = "1pass",
+    conv_impl: str = "dense",
     flow_out: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Interpolate U intermediate frames for each pair in the batch.
@@ -117,7 +121,7 @@ def interpolate_pairs(
     return _interpolate_pairs_planar(
         flow_params, interp_params, I0, I1, upsampling_factor,
         max_group, compute_dtype, use_pallas_warp, warp_max_disp,
-        flow_out, warp_precision,
+        flow_out, warp_precision, conv_impl,
     )
 
 
@@ -140,6 +144,7 @@ def _group_split(U: int, B: int, max_group: int):
 def _interpolate_pairs_planar(
     flow_params, interp_params, I0, I1, U, max_group, compute_dtype,
     use_pallas_warp, warp_max_disp, flow_out, warp_precision="1pass",
+    conv_impl="dense",
 ):
     """The dense interpolation chain on PLANAR [N,h,w] tensors.
 
@@ -153,7 +158,8 @@ def _interpolate_pairs_planar(
 
     if flow_out is None:
         flow_out = unet_apply(
-            flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype
+            flow_params, jnp.concatenate([I0, I1], axis=1), compute_dtype,
+            conv_impl,
         )
     B = I0.shape[0]
     # NCHW channel slices are contiguous planes — no transpose
@@ -201,7 +207,7 @@ def _interpolate_pairs_planar(
             ],
             axis=-1,
         )
-        intrp = unet_apply_io_nhwc(interp_params, stack, compute_dtype)
+        intrp = unet_apply_io_nhwc(interp_params, stack, compute_dtype, conv_impl)
         intrp = intrp.astype(jnp.float32)
         ut0f = intrp[..., 0] + ut0
         vt0f = intrp[..., 1] + vt0
@@ -292,6 +298,7 @@ class SuperSloMo:
         allow_random: bool = False,
         adaptive_disp: bool = True,
         warp_precision: str = "1pass",
+        conv_impl: str = "auto",
     ):
         if not auto_upsample and (
             not isinstance(upsampling_factor, int) or upsampling_factor < 2
@@ -324,6 +331,15 @@ class SuperSloMo:
         # "3pass" (bf16x3, ~1e-5 abs, 2x the warp MXU passes).  See
         # ops/pallas/warp.py.
         self.warp_precision = warp_precision
+        # UNet conv execution form (unet.py:_conv_block).  "auto" resolves
+        # to dense: the blocked form wins on ISOLATED lane-bound layers but
+        # measured SLOWER on the whole forward (interp UNet 124.5 vs
+        # 94.9 ms/96-frame forward on v5e — the isolated-layer "win" was an
+        # input-layout artifact; see benchmarks/README.md round 4).  The
+        # knob stays for measurement on other TPU generations.
+        if conv_impl == "auto":
+            conv_impl = "dense"
+        self.conv_impl = conv_impl
         self.last_disp: Optional[int] = None  # most recent warp window
         # bound on materialized interpolated frames per device call: at the
         # Colab-scale ~800x upsampling (reference README.md:38-41) a full
@@ -419,7 +435,8 @@ class SuperSloMo:
         h32, w32 = snap32(H), snap32(W)
         x = preprocess_frames(frames, h32, w32)
         I0, I1 = x[:-1], x[1:]
-        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype)
+        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype,
+                                self.conv_impl)
         U = self.choose_upsampling(flow_out)
         max_disp = self._choose_disp(flow_out, U)
 
@@ -441,6 +458,7 @@ class SuperSloMo:
                 I0[s : s + pair_slice], I1[s : s + pair_slice], U,
                 self.max_group, self.compute_dtype,
                 self.use_pallas_warp, max_disp, self.warp_precision,
+                self.conv_impl,
                 flow_out=flow_out[s : s + pair_slice],
             )
             yield postprocess_frames(interp, H, W, quantize), s
@@ -452,7 +470,8 @@ class SuperSloMo:
         h32, w32 = snap32(H), snap32(W)
         x = preprocess_frames(frames, h32, w32)
         I0, I1 = x[:-1], x[1:]
-        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype)
+        flow_out = compute_flow(self.flow_params, I0, I1, self.compute_dtype,
+                                self.conv_impl)
         U = self.choose_upsampling(flow_out)
         max_disp = self._choose_disp(flow_out, U)
         return U, self._emit_slices(I0, I1, flow_out, U, max_disp, H, W, quantize)

@@ -21,6 +21,7 @@ Parameters are a plain nested dict: ``params[layer] = {"w": ..., "b": ...}``.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Dict, Sequence, Tuple
 
@@ -99,24 +100,116 @@ def init_unet_host(rng, spec: UNetSpec, dtype=jnp.float32) -> Params:
     return params
 
 
-def _conv_block(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+def _blocked_plan(k: int, ci: int, co: int, w_pixels: int, ks=(5, 7)) -> int:
+    """Column-pack factor P for the lane-filling "blocked" conv form, or 1
+    for the plain dense conv.
+
+    Lane-bound layers (channels < the TPU's 128 vector lanes) waste most of
+    each MXU pass; packing P adjacent output columns into the channel dim
+    fills the lanes at a MAC overhead of nb*P/k (nb = blocked kernel width).
+    Measured on v5e (CAMPAIGN.log round 4): the 7x7 32->32 full-res layer
+    runs 61.5 ms dense vs 27.4 ms blocked per 96x288x352 forward — at the
+    pure-matmul bound for the same output tile.  The overhead only pays for
+    k >= 5 (k=3 has nb*P/k >= 2, cancelling the lane gain), so k=3 layers
+    stay dense.
+    """
+    maxc = max(ci, co)
+    if k not in ks or maxc > 64:
+        return 1
+    P = 4 if maxc <= 32 else 2
+    return P if w_pixels % P == 0 else 1
+
+
+@functools.lru_cache(maxsize=None)
+def _blocked_indices(k: int, P: int):
+    """Static gather indices building the block-Toeplitz kernel.
+
+    Output-column block j covers input columns [j*P - pad, j*P + P-1 + pad];
+    in block coordinates that is lb = ceil(pad/P) blocks to the left and
+    rb = floor((P-1+pad)/P) to the right, so the blocked kernel spans
+    nb = lb+rb+1 block columns and the conv pads (lb, rb) blocks — exactly
+    the pixels dense 'same' padding would see (out-of-range taps are zeroed
+    by the kernel structure below, not by the padding).
+    """
+    import numpy as np
+
+    pad = (k - 1) // 2
+    lb = -(-pad // P)
+    rb = (P - 1 + pad) // P
+    nb = lb + rb + 1
+    q = np.arange(nb)[:, None, None]
+    r = np.arange(P)[None, :, None]
+    d = np.arange(P)[None, None, :]
+    # tap column of blocked weight element [q, r (input col in block),
+    # d (output col in block)] relative to the dense k-tap window
+    kx = (q - lb) * P + r - d + pad
+    valid = (kx >= 0) & (kx < k)
+    kxc = np.clip(kx, 0, k - 1)
+    return nb, lb, rb, kxc.ravel(), valid.ravel()
+
+
+def _blocked_kernel(w: jnp.ndarray, P: int, dtype):
+    """OIHW [Co,Ci,k,k] -> block-Toeplitz HWIO [k, nb, P*Ci, P*Co].
+
+    Wb[ky, q, r*Ci+ci, d*Co+co] = w[co, ci, ky, (q-lb)*P + r - d + pad]
+    (zero where the tap falls outside the dense kernel).  Runs inside jit —
+    a static gather + select over the (tiny) weight tensor.
+    """
+    co, ci, k, _ = w.shape
+    nb, lb, rb, kxc, valid = _blocked_indices(k, P)
+    hwio = jnp.transpose(w, (2, 3, 1, 0)).astype(dtype)  # [k,k,Ci,Co]
+    g = jnp.take(hwio, jnp.asarray(kxc), axis=1)  # [k, nb*P*P, Ci, Co]
+    g = jnp.where(jnp.asarray(valid)[None, :, None, None], g, 0)
+    g = g.reshape(k, nb, P, P, ci, co)  # [k, q, r, d, Ci, Co]
+    g = jnp.transpose(g, (0, 1, 2, 4, 3, 5))  # [k, q, r, Ci, d, Co]
+    return g.reshape(k, nb, P * ci, P * co), lb, rb
+
+
+def _conv_block(
+    x: jnp.ndarray, p: Dict[str, jnp.ndarray], conv_impl: str = "dense"
+) -> jnp.ndarray:
     """NHWC conv + bias + LeakyReLU(0.1) as one fused epilogue.
 
     x: [N, H, W, Cin] in the compute dtype; returns same dtype.
     LeakyReLU is written max(y, 0.1*y) — equivalent for all finite y and,
     unlike the where-based form, reliably fused by XLA:TPU.
+
+    conv_impl: "dense" runs the stride-1 NHWC conv as-is; "blocked" packs P
+    adjacent columns into the channel dim for lane-bound k>=5 layers (see
+    `_blocked_plan`) — identical math, ~2.2x faster on v5e for the 7x7
+    full-res layers.
     """
     w = p["w"]
-    k = w.shape[-1]
+    co, ci, k = w.shape[0], w.shape[1], w.shape[-1]
     pad = (k - 1) // 2
-    y = jax.lax.conv_general_dilated(
-        x,
-        jnp.transpose(w, (2, 3, 1, 0)).astype(x.dtype),  # OIHW -> HWIO
-        window_strides=(1, 1),
-        padding=[(pad, pad), (pad, pad)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=x.dtype,
-    )
+    if conv_impl.startswith("blocked"):
+        # "blocked" = default k set; "blocked7"/"blocked5"/"blocked57" etc.
+        # restrict the form to those kernel sizes (measurement granularity)
+        ks = tuple(int(c) for c in conv_impl[7:]) or (5, 7)
+        P = _blocked_plan(k, ci, co, x.shape[2], ks)
+    else:
+        P = 1
+    if P > 1:
+        wb, lb, rb = _blocked_kernel(w, P, x.dtype)
+        n, h, wd, _ = x.shape
+        y = jax.lax.conv_general_dilated(
+            x.reshape(n, h, wd // P, P * ci),  # free: W,C are trailing dims
+            wb,
+            window_strides=(1, 1),
+            padding=[(pad, pad), (lb, rb)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )
+        y = y.reshape(n, h, wd, co)
+    else:
+        y = jax.lax.conv_general_dilated(
+            x,
+            jnp.transpose(w, (2, 3, 1, 0)).astype(x.dtype),  # OIHW -> HWIO
+            window_strides=(1, 1),
+            padding=[(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )
     y = y + p["b"].astype(x.dtype)
     return jnp.maximum(y, jnp.asarray(0.1, x.dtype) * y)
 
@@ -142,32 +235,33 @@ def _upsample2_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="bilinear")
 
 
-def unet_apply_nhwc(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+def unet_apply_nhwc(
+    params: Params, x: jnp.ndarray, conv_impl: str = "dense"
+) -> jnp.ndarray:
     """Forward pass on NHWC input [N, H, W, in_ch] (H, W multiples of 32),
     entirely in x.dtype.  Returns [N, H, W, out_ch] in x.dtype."""
-    x = _conv_block(x, params["conv1"])
-    s1 = _conv_block(x, params["conv2"])
+    cb = functools.partial(_conv_block, conv_impl=conv_impl)
+    x = cb(x, params["conv1"])
+    s1 = cb(x, params["conv2"])
     skips = [s1]
     x = s1
     for i in range(1, 6):
         x = _avg_pool2_nhwc(x)
-        x = _conv_block(x, params[f"down{i}.conv1"])
-        x = _conv_block(x, params[f"down{i}.conv2"])
+        x = cb(x, params[f"down{i}.conv1"])
+        x = cb(x, params[f"down{i}.conv2"])
         if i < 5:
             skips.append(x)
     # skips = [s1, s2, s3, s4, s5]; bottleneck x pairs with s5 first
     for i in range(1, 6):
         skip = skips[5 - i]
         x = _upsample2_nhwc(x)
-        x = _conv_block(x, params[f"up{i}.conv1"])
-        x = _conv_block(
-            jnp.concatenate([x, skip], axis=-1), params[f"up{i}.conv2"]
-        )
-    return _conv_block(x, params["conv3"])
+        x = cb(x, params[f"up{i}.conv1"])
+        x = cb(jnp.concatenate([x, skip], axis=-1), params[f"up{i}.conv2"])
+    return cb(x, params["conv3"])
 
 
 def unet_apply_io_nhwc(
-    params: Params, x: jnp.ndarray, compute_dtype=None
+    params: Params, x: jnp.ndarray, compute_dtype=None, conv_impl: str = "dense"
 ) -> jnp.ndarray:
     """Forward pass with NHWC input AND output — no layout transposes.
 
@@ -178,20 +272,24 @@ def unet_apply_io_nhwc(
     in_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
-    return unet_apply_nhwc(params, x).astype(in_dtype)
+    return unet_apply_nhwc(params, x, conv_impl).astype(in_dtype)
 
 
-def unet_apply(params: Params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+def unet_apply(
+    params: Params, x: jnp.ndarray, compute_dtype=None, conv_impl: str = "dense"
+) -> jnp.ndarray:
     """Forward pass. x: [N, in_ch, H, W] with H, W multiples of 32.
 
     compute_dtype: run convs/activations in this dtype (e.g. bfloat16 — the
     MXU-native precision on TPU; the MXU still accumulates float32
     internally).  Output is cast back to the input dtype.
+
+    conv_impl: "dense" | "blocked" — see `_conv_block`.
     """
     in_dtype = x.dtype
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
     x = jnp.transpose(x, (0, 2, 3, 1))  # NCHW -> NHWC once
-    out = unet_apply_nhwc(params, x)
+    out = unet_apply_nhwc(params, x, conv_impl)
     out = jnp.transpose(out, (0, 3, 1, 2))  # back to NCHW
     return out.astype(in_dtype)
