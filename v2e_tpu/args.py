@@ -168,10 +168,12 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                              help="UNet conv execution form: blocked packs "
                                   "adjacent image columns into the vector "
                                   "lanes for the lane-bound k>=5 layers "
-                                  "(identical math; ~2.2x faster on those "
-                                  "layers on TPU v5e), dense runs plain "
-                                  "stride-1 convs, auto = blocked on TPU, "
-                                  "dense elsewhere")
+                                  "(identical math); dense runs plain "
+                                  "stride-1 convs. auto currently resolves "
+                                  "to dense everywhere: blocked wins on "
+                                  "isolated layers but measured slower on "
+                                  "the whole forward on v5e (see "
+                                  "benchmarks/README.md)")
     slomo_group.add_argument("--slomo_use_saved", action="store_true",
                              help="cache the interpolated frame stream and "
                                   "reuse it on later runs with the same "
