@@ -59,3 +59,32 @@ def test_unet_forward_blocked_matches_dense():
     dense = np.asarray(unet_apply_io_nhwc(params, x, None, "dense"))
     blocked = np.asarray(unet_apply_io_nhwc(params, x, None, "blocked"))
     np.testing.assert_allclose(blocked, dense, atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("base,cin,cout", [(8, 12, 5), (16, 2, 4)])
+def test_unet_forward_packed_matches_dense(base, cin, cout):
+    """Packed-RESIDENT form (pack once, conv pairs + pooling stay packed,
+    unpack only at skip taps) == dense, whole forward."""
+    spec = UNetSpec(cin, cout, base)
+    rng = np.random.default_rng(11 + base)
+    params = init_unet_host(rng, spec)
+    x = jnp.asarray(rng.normal(size=(2, 32, 64, cin)).astype(np.float32))
+    dense = np.asarray(unet_apply_io_nhwc(params, x, None, "dense"))
+    packed = np.asarray(unet_apply_io_nhwc(params, x, None, "packed"))
+    np.testing.assert_allclose(packed, dense, atol=5e-5, rtol=1e-4)
+
+
+def test_pool2_packed_matches_dense_pool():
+    """Packed-space 2x2 average pooling == dense pooling at both pack
+    factors used by the resident path (P=4 full-res, P=2 half-res)."""
+    from v2e_tpu.models.unet import _avg_pool2_nhwc, _pool2_packed
+
+    rng = np.random.default_rng(5)
+    for P, c in [(4, 8), (2, 16)]:
+        x = jnp.asarray(rng.normal(size=(2, 8, 16, c)).astype(np.float32))
+        dense = np.asarray(_avg_pool2_nhwc(x))
+        n, h, w, _ = x.shape
+        pk = _pool2_packed(x.reshape(n, h, w // P, P * c), P)
+        # packed(P/2) at half-res unpacks with a plain reshape
+        pk = np.asarray(pk).reshape(n, h // 2, w // 2, c)
+        np.testing.assert_allclose(pk, dense, atol=1e-6, rtol=1e-6)

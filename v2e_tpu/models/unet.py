@@ -218,6 +218,48 @@ def _lrelu(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(x, jnp.asarray(0.1, x.dtype) * x)
 
 
+def _conv_block_pk(xp: jnp.ndarray, p: Dict[str, jnp.ndarray], P: int) -> jnp.ndarray:
+    """Blocked conv + bias + LeakyReLU on an ALREADY-PACKED input.
+
+    xp: [N, H, W/P, P*Ci] — P adjacent columns folded into the channel dim
+    (lane layout col_in_block*Ci + ci, i.e. a plain reshape of NHWC).
+    Returns [N, H, W/P, P*Co] in the same packed layout, so consecutive
+    packed layers chain with NO reshapes in between — the round-4 per-layer
+    blocked form repacked at every layer boundary and lost its isolated-layer
+    win to XLA layout conversions (benchmarks/README.md dead-ends table);
+    this form keeps the packed layout resident across the pair.
+    """
+    w = p["w"]
+    k = w.shape[-1]
+    pad = (k - 1) // 2
+    wb, lb, rb = _blocked_kernel(w, P, xp.dtype)
+    y = jax.lax.conv_general_dilated(
+        xp, wb,
+        window_strides=(1, 1),
+        padding=[(pad, pad), (lb, rb)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=xp.dtype,
+    )
+    y = y + jnp.tile(p["b"], P).astype(xp.dtype)
+    return jnp.maximum(y, jnp.asarray(0.1, xp.dtype) * y)
+
+
+def _pool2_packed(xp: jnp.ndarray, P: int) -> jnp.ndarray:
+    """2x2 average pool directly in the packed layout.
+
+    [N, H, W/P, P*C] -> [N, H/2, W/P, (P/2)*C]: output column block wb at
+    half resolution covers the same pixels as input block wb, so the block
+    grid is unchanged and the pack factor halves — pooling never leaves the
+    packed layout (P must be even).
+    """
+    n, h, wb, pc = xp.shape
+    c = pc // P
+    x = xp.reshape(n, h // 2, 2, wb, P // 2, 2, c)
+    s = x[:, :, 0] + x[:, :, 1]
+    s = s[..., 0, :] + s[..., 1, :]
+    return (s * jnp.asarray(0.25, xp.dtype)).reshape(n, h // 2, wb, (P // 2) * c)
+
+
 def _avg_pool2_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     # reshape-mean, not lax.reduce_window: identical values, and
     # reduce_window's reverse-mode rule fails under shard_map (the sharded
@@ -239,7 +281,17 @@ def unet_apply_nhwc(
     params: Params, x: jnp.ndarray, conv_impl: str = "dense"
 ) -> jnp.ndarray:
     """Forward pass on NHWC input [N, H, W, in_ch] (H, W multiples of 32),
-    entirely in x.dtype.  Returns [N, H, W, out_ch] in x.dtype."""
+    entirely in x.dtype.  Returns [N, H, W, out_ch] in x.dtype.
+
+    conv_impl "packed" runs the two leading lane-bound conv pairs (conv1/2
+    at 7x7 and down1.conv1/2 at 5x5 — together ~1/3 of the UNet's FLOPs at
+    the worst MXU lane utilization) in a RESIDENT packed layout: pack once
+    at entry, chain both convs of each pair packed, pool in packed space,
+    and unpack only at the two skip taps.  Everything from down2 on (>=128
+    channels, lane-full) runs dense.
+    """
+    if conv_impl == "packed" and x.shape[2] % 4 == 0 and x.shape[1] % 4 == 0:
+        return _unet_apply_nhwc_packed(params, x)
     cb = functools.partial(_conv_block, conv_impl=conv_impl)
     x = cb(x, params["conv1"])
     s1 = cb(x, params["conv2"])
@@ -258,6 +310,33 @@ def unet_apply_nhwc(
         x = cb(x, params[f"up{i}.conv1"])
         x = cb(jnp.concatenate([x, skip], axis=-1), params[f"up{i}.conv2"])
     return cb(x, params["conv3"])
+
+
+def _unet_apply_nhwc_packed(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Packed-resident forward: see unet_apply_nhwc(conv_impl="packed")."""
+    n, h, w, cin = x.shape
+    xp = x.reshape(n, h, w // 4, 4 * cin)
+    xp = _conv_block_pk(xp, params["conv1"], 4)
+    s1p = _conv_block_pk(xp, params["conv2"], 4)
+    s1 = s1p.reshape(n, h, w, -1)
+    xp = _pool2_packed(s1p, 4)  # half-res, P=2
+    xp = _conv_block_pk(xp, params["down1.conv1"], 2)
+    s2p = _conv_block_pk(xp, params["down1.conv2"], 2)
+    s2 = s2p.reshape(n, h // 2, w // 2, -1)
+    x = _pool2_packed(s2p, 2)  # quarter-res, unpacked
+    skips = [s1, s2]
+    for i in range(2, 6):
+        x = _conv_block(x, params[f"down{i}.conv1"])
+        x = _conv_block(x, params[f"down{i}.conv2"])
+        if i < 5:
+            skips.append(x)
+            x = _avg_pool2_nhwc(x)
+    for i in range(1, 6):
+        skip = skips[5 - i]
+        x = _upsample2_nhwc(x)
+        x = _conv_block(x, params[f"up{i}.conv1"])
+        x = _conv_block(jnp.concatenate([x, skip], axis=-1), params[f"up{i}.conv2"])
+    return _conv_block(x, params["conv3"])
 
 
 def unet_apply_io_nhwc(
