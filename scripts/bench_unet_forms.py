@@ -13,10 +13,13 @@ Usage: python scripts/bench_unet_forms.py [impl ...]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main() -> int:
@@ -44,16 +47,27 @@ def main() -> int:
 
     import functools
 
-    @functools.partial(jax.jit, static_argnums=(2,))
-    def interp_fwd(p, x, impl):
-        return unet_apply_nhwc(p, x, impl)
+    K = 4  # forwards per timed program — amortizes dispatch/link overhead
 
-    # compile + warm everything first (3 warm calls each)
+    # block_until_ready on the tunneled backend returns before the device
+    # finishes; run K forwards inside ONE jitted scan returning a scalar and
+    # force completion with a host fetch (float()), like bench.py's chunks.
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def fwd_loop(p, x, impl):
+        def body(carry, c):
+            y = unet_apply_nhwc(p, x + c, impl)
+            return carry + jnp.sum(y.astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0), (jnp.arange(K) * 1e-3).astype(x.dtype)
+        )
+        return acc
+
+    # compile + warm everything first
     for impl in impls:
         t = time.perf_counter()
-        for _ in range(3):
-            interp_fwd(interp_p, xi, impl).block_until_ready()
-            interp_fwd(flow_p, xf, impl).block_until_ready()
+        for _ in range(2):
+            float(fwd_loop(interp_p, xi, impl))
+            float(fwd_loop(flow_p, xf, impl))
         print(f"# warmed {impl} in {time.perf_counter()-t:.1f}s", file=sys.stderr)
 
     times_i = {i: [] for i in impls}
@@ -61,14 +75,15 @@ def main() -> int:
     for r in range(ROUNDS):
         for impl in impls:
             t = time.perf_counter()
-            interp_fwd(interp_p, xi, impl).block_until_ready()
-            times_i[impl].append(time.perf_counter() - t)
+            float(fwd_loop(interp_p, xi, impl))
+            times_i[impl].append((time.perf_counter() - t) / K)
             t = time.perf_counter()
-            interp_fwd(flow_p, xf, impl).block_until_ready()
-            times_f[impl].append(time.perf_counter() - t)
+            float(fwd_loop(flow_p, xf, impl))
+            times_f[impl].append((time.perf_counter() - t) / K)
         print(f"# round {r} done", file=sys.stderr)
 
-    print(f"shapes: interp [{N},{H},{W},12] | flow [{NF},{H},{W},2] | {dt}")
+    print(f"shapes: interp [{N},{H},{W},12] | flow [{NF},{H},{W},2] | {dt} "
+          f"| {K} forwards per timed program, per-forward ms shown")
     for impl in impls:
         ti = np.array(times_i[impl][2:]) * 1e3  # drop 2 more rounds
         tf = np.array(times_f[impl][2:]) * 1e3

@@ -311,3 +311,33 @@ class TestSelectOccupied:
         idx = np.asarray(_select_occupied(jnp.asarray(occ), 256))
         ref = np.flatnonzero(occ)[:256].astype(np.int32)
         np.testing.assert_array_equal(idx, ref)
+
+    @pytest.mark.parametrize(
+        "total,cap,dens",
+        [(160 * 89960, 262144, 0.007), (1024, 256, 0.3), (4096, 8192, 0.1),
+         (1000, 64, 0.5), (89960, 16384, 0.0)],
+    )
+    def test_scan_select_matches_topk(self, total, cap, dens):
+        """Prefix-sum + binary-search select (V2E_SELECT=scan) is
+        entry-for-entry identical to the top_k select, fills included."""
+        import jax.numpy as jnp
+
+        from v2e_tpu.emulator.core import _select_occupied, _select_occupied_scan
+
+        rng = np.random.default_rng(total % 89)
+        occ = jnp.asarray(rng.random(total) < dens)
+        a = np.asarray(_select_occupied(occ, cap))
+        b = np.asarray(_select_occupied_scan(occ, cap))
+        np.testing.assert_array_equal(a, b)
+
+    def test_scan_select_clustered(self):
+        import jax.numpy as jnp
+
+        from v2e_tpu.emulator.core import _select_occupied_scan
+
+        occ = np.zeros(4096, bool)
+        occ[100:400] = True
+        occ[4000:4090] = True
+        idx = np.asarray(_select_occupied_scan(jnp.asarray(occ), 256))
+        ref = np.flatnonzero(occ)[:256].astype(np.int32)
+        np.testing.assert_array_equal(idx, ref)

@@ -61,16 +61,18 @@ def test_unet_forward_blocked_matches_dense():
     np.testing.assert_allclose(blocked, dense, atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("impl", ["packed", "packedup"])
 @pytest.mark.parametrize("base,cin,cout", [(8, 12, 5), (16, 2, 4)])
-def test_unet_forward_packed_matches_dense(base, cin, cout):
-    """Packed-RESIDENT form (pack once, conv pairs + pooling stay packed,
-    unpack only at skip taps) == dense, whole forward."""
+def test_unet_forward_packed_matches_dense(base, cin, cout, impl):
+    """Packed-RESIDENT forms (pack once, conv pairs + pooling stay packed,
+    unpack only at skip taps; packedup also runs up4/up5/conv3 packed with
+    packed skip concats) == dense, whole forward."""
     spec = UNetSpec(cin, cout, base)
     rng = np.random.default_rng(11 + base)
     params = init_unet_host(rng, spec)
     x = jnp.asarray(rng.normal(size=(2, 32, 64, cin)).astype(np.float32))
     dense = np.asarray(unet_apply_io_nhwc(params, x, None, "dense"))
-    packed = np.asarray(unet_apply_io_nhwc(params, x, None, "packed"))
+    packed = np.asarray(unet_apply_io_nhwc(params, x, None, impl))
     np.testing.assert_allclose(packed, dense, atol=5e-5, rtol=1e-4)
 
 

@@ -164,15 +164,18 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                                   "~1e-5, 2x the warp MXU passes), highest "
                                   "(bf16x6, f32-exact)")
     slomo_group.add_argument("--unet_conv", type=str, default="auto",
-                             choices=["auto", "blocked", "dense"],
-                             help="UNet conv execution form: blocked packs "
-                                  "adjacent image columns into the vector "
-                                  "lanes for the lane-bound k>=5 layers "
-                                  "(identical math); dense runs plain "
-                                  "stride-1 convs. auto currently resolves "
-                                  "to dense everywhere: blocked wins on "
-                                  "isolated layers but measured slower on "
-                                  "the whole forward on v5e (see "
+                             choices=["auto", "packed", "packedup",
+                                      "blocked", "dense"],
+                             help="UNet conv execution form (identical math "
+                                  "in all forms): packed keeps a column-"
+                                  "packed lane-filling layout RESIDENT "
+                                  "across the leading conv pairs (-27%% "
+                                  "interp forward on v5e); packedup also "
+                                  "packs the up path (slower on v5e); "
+                                  "blocked is the round-4 per-layer form "
+                                  "(slower: per-layer repacking); dense "
+                                  "runs plain stride-1 convs. auto = "
+                                  "packed on TPU, dense elsewhere (see "
                                   "benchmarks/README.md)")
     slomo_group.add_argument("--slomo_use_saved", action="store_true",
                              help="cache the interpolated frame stream and "

@@ -331,14 +331,19 @@ class SuperSloMo:
         # "3pass" (bf16x3, ~1e-5 abs, 2x the warp MXU passes).  See
         # ops/pallas/warp.py.
         self.warp_precision = warp_precision
-        # UNet conv execution form (unet.py:_conv_block).  "auto" resolves
-        # to dense: the blocked form wins on ISOLATED lane-bound layers but
-        # measured SLOWER on the whole forward (interp UNet 124.5 vs
-        # 94.9 ms/96-frame forward on v5e — the isolated-layer "win" was an
-        # input-layout artifact; see benchmarks/README.md round 4).  The
-        # knob stays for measurement on other TPU generations.
+        # UNet conv execution form (unet.py).  "auto" resolves to the
+        # packed-RESIDENT form on TPU: pack 4 columns into the lanes ONCE,
+        # keep the layout resident across the lane-bound leading conv pairs
+        # and the pooling, unpack only at the skip taps.  Measured round 5
+        # on v5e (scripts/bench_unet_forms.py, interleaved-warm, 80-frame
+        # interp forward at 256x320): dense 91.9 ms -> packed 67.0 ms
+        # (-27%); flow UNet 26.5 -> 21.7 ms.  This fixes the round-4
+        # per-layer "blocked" form, whose per-layer repacking lost its
+        # isolated-layer win (61.5 -> 27.4 ms on the 7x7 layer) to XLA
+        # layout conversions (whole forward 124.5 vs 94.9 ms).  Elsewhere
+        # (CPU tests/dryruns) auto stays dense.
         if conv_impl == "auto":
-            conv_impl = "dense"
+            conv_impl = "packed" if jax.default_backend() == "tpu" else "dense"
         self.conv_impl = conv_impl
         self.last_disp: Optional[int] = None  # most recent warp window
         # bound on materialized interpolated frames per device call: at the

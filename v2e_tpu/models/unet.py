@@ -290,8 +290,12 @@ def unet_apply_nhwc(
     and unpack only at the two skip taps.  Everything from down2 on (>=128
     channels, lane-full) runs dense.
     """
-    if conv_impl == "packed" and x.shape[2] % 4 == 0 and x.shape[1] % 4 == 0:
-        return _unet_apply_nhwc_packed(params, x)
+    if (
+        conv_impl in ("packed", "packedup")
+        and x.shape[2] % 4 == 0
+        and x.shape[1] % 4 == 0
+    ):
+        return _unet_apply_nhwc_packed(params, x, up=conv_impl == "packedup")
     cb = functools.partial(_conv_block, conv_impl=conv_impl)
     x = cb(x, params["conv1"])
     s1 = cb(x, params["conv2"])
@@ -312,31 +316,63 @@ def unet_apply_nhwc(
     return cb(x, params["conv3"])
 
 
-def _unet_apply_nhwc_packed(params: Params, x: jnp.ndarray) -> jnp.ndarray:
-    """Packed-resident forward: see unet_apply_nhwc(conv_impl="packed")."""
+def _cat_packed(ap: jnp.ndarray, bp: jnp.ndarray, P: int) -> jnp.ndarray:
+    """Channel-concat two packed tensors without leaving the packed layout:
+    interleave per column slot so the result is pack(concat(a, b))."""
+    n, h, wb, pca = ap.shape
+    ca, cb = pca // P, bp.shape[-1] // P
+    out = jnp.concatenate(
+        [ap.reshape(n, h, wb, P, ca), bp.reshape(n, h, wb, P, cb)], axis=-1
+    )
+    return out.reshape(n, h, wb, P * (ca + cb))
+
+
+def _unet_apply_nhwc_packed(
+    params: Params, x: jnp.ndarray, up: bool = False
+) -> jnp.ndarray:
+    """Packed-resident forward: see unet_apply_nhwc(conv_impl="packed").
+
+    up=True additionally runs the lane-bound up-path pairs (up4 at P=2,
+    up5 + conv3 at P=4) packed, concatenating with the skip taps directly
+    in packed space (the down-path skips are kept packed for it).
+    """
     n, h, w, cin = x.shape
     xp = x.reshape(n, h, w // 4, 4 * cin)
     xp = _conv_block_pk(xp, params["conv1"], 4)
     s1p = _conv_block_pk(xp, params["conv2"], 4)
-    s1 = s1p.reshape(n, h, w, -1)
     xp = _pool2_packed(s1p, 4)  # half-res, P=2
     xp = _conv_block_pk(xp, params["down1.conv1"], 2)
     s2p = _conv_block_pk(xp, params["down1.conv2"], 2)
-    s2 = s2p.reshape(n, h // 2, w // 2, -1)
     x = _pool2_packed(s2p, 2)  # quarter-res, unpacked
-    skips = [s1, s2]
+    skips = [None, None]  # s1/s2 consumed packed (up) or unpacked below
+    if not up:
+        skips = [s1p.reshape(n, h, w, -1), s2p.reshape(n, h // 2, w // 2, -1)]
     for i in range(2, 6):
         x = _conv_block(x, params[f"down{i}.conv1"])
         x = _conv_block(x, params[f"down{i}.conv2"])
         if i < 5:
             skips.append(x)
             x = _avg_pool2_nhwc(x)
-    for i in range(1, 6):
+    for i in range(1, 4 if up else 6):
         skip = skips[5 - i]
         x = _upsample2_nhwc(x)
         x = _conv_block(x, params[f"up{i}.conv1"])
         x = _conv_block(jnp.concatenate([x, skip], axis=-1), params[f"up{i}.conv2"])
-    return _conv_block(x, params["conv3"])
+    if not up:
+        return _conv_block(x, params["conv3"])
+    # up4 at P=2, packed concat with s2p
+    xp = _upsample2_nhwc(x).reshape(n, h // 2, w // 4, -1)
+    xp = _conv_block_pk(xp, params["up4.conv1"], 2)
+    xp = _conv_block_pk(_cat_packed(xp, s2p, 2), params["up4.conv2"], 2)
+    # up5 + conv3 at P=4, packed concat with s1p (upsample runs unpacked:
+    # bilinear mixes adjacent columns across block boundaries)
+    x = xp.reshape(n, h // 2, w // 2, -1)
+    xp = _upsample2_nhwc(x).reshape(n, h, w // 4, -1)
+    xp = _conv_block_pk(xp, params["up5.conv1"], 4)
+    xp = _conv_block_pk(_cat_packed(xp, s1p, 4), params["up5.conv2"], 4)
+    xp = _conv_block_pk(xp, params["conv3"], 4)
+    cout = params["conv3"]["w"].shape[0]
+    return xp.reshape(n, h, w // 4, 4, cout).reshape(n, h, w, cout)
 
 
 def unet_apply_io_nhwc(
