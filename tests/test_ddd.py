@@ -131,6 +131,57 @@ class TestReader:
         assert ev.shape[0] == 2 * H * W
 
 
+class TestDDDH5Writer:
+    def test_packet_roundtrip(self, tmp_path):
+        """Packets written by DDDH5Writer read back through
+        DDD20SimpleReader (write -> read round trip, PARITY.md row 17)."""
+        from v2e_tpu.io.ddd import DDDH5Writer
+
+        path = str(tmp_path / "rec_rt.hdf5")
+        w = DDDH5Writer(path)
+        img = np.ones((H, W), dtype=np.uint16) * (100 * 256)
+        w.append_packet(*frame_packet(1_000_000, img))
+        w.append_packet(*polarity_packet(
+            [(1_100_000, 10, 20, 1), (1_200_000, 30, 40, 0)]))
+        img2 = np.ones((H, W), dtype=np.uint16) * (160 * 256)
+        w.append_packet(*frame_packet(1_500_000, img2))
+        w.append_packet(*polarity_packet([(1_600_000, 5, 6, 1)]))
+        w.close()
+
+        r = DDD20SimpleReader(path, rotate180=False)
+        assert r.numPackets == 4
+        frames, events = r.readEntire()
+        r.close()
+        assert len(frames) == 2
+        assert frames["frame"][0][0, 0] == 100
+        assert frames["frame"][1][0, 0] == 160
+        assert frames["ts"][1] == pytest.approx(0.5)
+        assert events.shape[0] == 3
+        np.testing.assert_array_equal(events[:, 3], [1, -1, 1])
+        np.testing.assert_array_equal(events[0, 1:3], [10, 20])
+
+    def test_named_dataset_append(self, tmp_path):
+        """The generic (ts, data) append API grows chunked datasets that
+        read back in order (reference ddd20_utils/datasets.py behavior)."""
+        import h5py
+
+        from v2e_tpu.io.ddd import DDDH5Writer
+
+        path = str(tmp_path / "rec_named.hdf5")
+        w = DDDH5Writer(path)
+        for i in range(300):  # > 2 chunks of 128
+            w.append("imu", 0.01 * i, np.full((6,), i, dtype=np.float32))
+        w.append("gps", 1.0, np.array([47.0, 8.0]))
+        w.close()
+
+        with h5py.File(path, "r") as f:
+            imu = f["dvs"]["imu"][...]
+            assert imu.shape[0] == 300
+            np.testing.assert_allclose(imu["ts"], 0.01 * np.arange(300))
+            np.testing.assert_array_equal(imu["data"][7], np.full((6,), 7))
+            assert f["dvs"]["gps"].shape[0] == 1
+
+
 class TestThresholdEstimator:
     def test_recovers_threshold(self):
         """Generate 'real' counts with a known threshold; the estimator must

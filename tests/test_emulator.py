@@ -341,3 +341,56 @@ class TestSelectOccupied:
         idx = np.asarray(_select_occupied_scan(jnp.asarray(occ), 256))
         ref = np.flatnonzero(occ)[:256].astype(np.int32)
         np.testing.assert_array_equal(idx, ref)
+
+    @pytest.mark.parametrize(
+        "total,frames,has_shot",
+        [(14_387_200, 160, True),   # headline shape: idx16 + i0u8
+         (14_387_200, 300, False),  # i0 stays i16
+         (20_000_000, 64, True)],   # idx stays i32
+    )
+    def test_sparse_blob_roundtrip(self, total, frames, has_shot):
+        """Compressed sparse-blob serialize/deserialize is lossless,
+        including sorted-idx tails of fill entries (idx == total)."""
+        import jax.numpy as jnp
+
+        from v2e_tpu.emulator.core import slice_packed, unpack_sparse_blob
+
+        rng = np.random.default_rng(total % 97)
+        cap, n_real = 4096, 3000
+        idx = np.sort(rng.choice(total, n_real, replace=False)).astype(np.int32)
+        idx = np.concatenate([idx, np.full(cap - n_real, total, np.int32)])
+        sparse = {
+            "idx": jnp.asarray(idx),
+            "count": jnp.asarray(
+                rng.integers(-30000, 30000, cap).astype(np.int16)),
+            "i0": jnp.asarray(
+                rng.integers(0, frames, cap).astype(np.int16)),
+        }
+        if has_shot:
+            sparse["shot"] = jnp.asarray(
+                rng.integers(0, 4, cap).astype(np.uint8))
+        blob = np.asarray(slice_packed(sparse, cap, total, frames))
+        out = unpack_sparse_blob(blob, cap, has_shot, total, frames)
+        np.testing.assert_array_equal(out["idx"], idx)
+        np.testing.assert_array_equal(out["count"], np.asarray(sparse["count"]))
+        np.testing.assert_array_equal(
+            np.asarray(out["i0"], dtype=np.int16), np.asarray(sparse["i0"]))
+        if has_shot:
+            np.testing.assert_array_equal(out["shot"], np.asarray(sparse["shot"]))
+
+    def test_compaction_select_kwarg(self):
+        """EventEmulator(compaction_select=...) routes through the config
+        and yields an identical event stream for both select schemes."""
+        from v2e_tpu.emulator import EventEmulator
+
+        rng = np.random.default_rng(3)
+        frames = (rng.random((6, 16, 24)) * 255).astype(np.float32)
+        times = np.arange(6, dtype=np.float64) * 0.01
+        out = {}
+        for sel in ("topk", "scan"):
+            em = EventEmulator(seed=7, sigma_thres=0.0, leak_rate_hz=0.0,
+                               shuffle_events_within_iteration=False,
+                               compaction_select=sel)
+            assert em.cfg.select == sel
+            out[sel] = em.generate_events_batch(frames, times)
+        np.testing.assert_array_equal(out["topk"], out["scan"])

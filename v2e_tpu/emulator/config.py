@@ -71,6 +71,13 @@ class EmulatorConfig:
     # partition, so mesh-sharded runs disable this)
     use_pallas_scan: bool = True
 
+    # compaction select scheme: "topk" (word-packed two-phase lax.top_k) or
+    # "scan" (prefix-sum + binary-search gather); "" defers to the
+    # V2E_SELECT env var (default topk).  Both are entry-for-entry
+    # identical (tests/test_emulator.py); the knob exists for in-chunk
+    # timing on real hardware.
+    select: str = ""
+
     # observability: record one pixel's internal states per frame (x, y)
     # (reference --record_single_pixel_states, emulator.py:279-302)
     probe: Optional[tuple] = None

@@ -385,44 +385,114 @@ def emulator_step(
     return new_state, out
 
 
-def _sparse_blob(sparse: Dict[str, jnp.ndarray], capacity: int) -> jnp.ndarray:
+def blob_plan(total: int, frames: int) -> Tuple[bool, bool]:
+    """Static byte-layout choices for the sparse blob, from the chunk's
+    cell count and frame count (both trace-time constants).
+
+    idx16: the sorted cell indices ship as low-16 uint16 + a uint8 jump of
+    the high 16 bits (3 B/cell instead of 4).  Sorted ascending with fill
+    value == total means every high-16 jump is bounded by total >> 16, so
+    the encoding is lossless exactly when total <= 0xFFFFFF (16.7M cells —
+    a 160-frame 346x260 chunk is 14.4M).
+    i0u8: first-iteration indices fit uint8 when the chunk has <= 255
+    frames (2 B/cell -> 1).
+
+    Together: 9 B/cell -> 7 B/cell on the headline shape.  The phase-2
+    fetch is the one link transfer that can't be hidden when the tunnel
+    slows down (fetch p50 was measured 77 ms one day and 294 ms the next
+    at identical code), so blob bytes bound the worst-case headline.
+    """
+    return total <= 0xFFFFFF, 0 < frames <= 255
+
+
+def _sparse_blob(
+    sparse: Dict[str, jnp.ndarray], capacity: int, total: int = 0,
+    frames: int = 0,
+) -> jnp.ndarray:
     """Serialize the sparse entry arrays into ONE uint8 buffer.
 
     A host fetch can pay a full link round trip per array; one contiguous
-    blob makes the phase-2 fetch a single transfer.  Layout: idx int32[C] |
-    count int16[C] | i0 int16[C] | shot uint8[C] (shot section only when
-    present).
+    blob makes the phase-2 fetch a single transfer.  Layout (see
+    `blob_plan` for the idx16/i0u8 compression):
+      idx  uint16[C] low bits + uint8[C] high-16 jumps   (or int32[C])
+      count int16[C]
+      i0   uint8[C]                                      (or int16[C])
+      shot uint8[C]                                      (only when present)
+    total/frames == 0 disables the compressed forms (plain layout).
     """
-    parts = [
-        jax.lax.bitcast_convert_type(sparse["idx"][:capacity], jnp.uint8).reshape(-1),
-        jax.lax.bitcast_convert_type(sparse["count"][:capacity], jnp.uint8).reshape(-1),
-        jax.lax.bitcast_convert_type(sparse["i0"][:capacity], jnp.uint8).reshape(-1),
-    ]
+    idx16, i0u8 = blob_plan(total, frames)
+    idx = sparse["idx"][:capacity]
+    if idx16:
+        low = (idx & 0xFFFF).astype(jnp.uint16)
+        high = idx >> 16
+        jump = (high - jnp.concatenate([high[:1] * 0, high[:-1]])).astype(
+            jnp.uint8
+        )
+        parts = [
+            jax.lax.bitcast_convert_type(low, jnp.uint8).reshape(-1),
+            jump,
+        ]
+    else:
+        parts = [jax.lax.bitcast_convert_type(idx, jnp.uint8).reshape(-1)]
+    parts.append(
+        jax.lax.bitcast_convert_type(sparse["count"][:capacity], jnp.uint8).reshape(-1)
+    )
+    i0 = sparse["i0"][:capacity]
+    if i0u8:
+        parts.append(i0.astype(jnp.uint8))
+    else:
+        parts.append(jax.lax.bitcast_convert_type(i0, jnp.uint8).reshape(-1))
     if "shot" in sparse:
         parts.append(sparse["shot"][:capacity])
     return jnp.concatenate(parts)
 
 
-def unpack_sparse_blob(blob: "object", capacity: int, has_shot: bool) -> Dict:
-    """Host-side inverse of `_sparse_blob` (zero-copy numpy views)."""
+def unpack_sparse_blob(
+    blob: "object", capacity: int, has_shot: bool, total: int = 0,
+    frames: int = 0,
+) -> Dict:
+    """Host-side inverse of `_sparse_blob` (zero-copy numpy views except
+    the idx16 decode, one cumsum over the occupied cells)."""
     import numpy as _np
 
+    idx16, i0u8 = blob_plan(total, frames)
     blob = _np.asarray(blob)
+    off = 0
+    if idx16:
+        low = blob[: 2 * capacity].view(_np.uint16)
+        jump = blob[2 * capacity : 3 * capacity]
+        idx = (
+            _np.cumsum(jump, dtype=_np.int32) << 16
+        ) + low.astype(_np.int32)
+        off = 3 * capacity
+    else:
+        idx = blob[: 4 * capacity].view(_np.int32)
+        off = 4 * capacity
     out = {
-        "idx": blob[: 4 * capacity].view(_np.int32),
-        "count": blob[4 * capacity : 6 * capacity].view(_np.int16),
-        "i0": blob[6 * capacity : 8 * capacity].view(_np.int16),
+        "idx": idx,
+        "count": blob[off : off + 2 * capacity].view(_np.int16),
     }
+    off += 2 * capacity
+    if i0u8:
+        out["i0"] = blob[off : off + capacity]
+        off += capacity
+    else:
+        out["i0"] = blob[off : off + 2 * capacity].view(_np.int16)
+        off += 2 * capacity
     if has_shot:
-        out["shot"] = blob[8 * capacity : 9 * capacity]
+        out["shot"] = blob[off : off + capacity]
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def slice_packed(sparse: Dict[str, jnp.ndarray], capacity: int) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def slice_packed(
+    sparse: Dict[str, jnp.ndarray], capacity: int, total: int = 0,
+    frames: int = 0,
+) -> jnp.ndarray:
     """Trim compacted sparse arrays to a smaller capacity bucket and pack
-    them into one fetchable buffer."""
-    return _sparse_blob(sparse, capacity)
+    them into one fetchable buffer (compressed per `blob_plan` when
+    total/frames are given)."""
+    return _sparse_blob(sparse, capacity, total, frames)
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
@@ -560,7 +630,7 @@ def compact_chunk(
         occ = occ | on | off
     import os as _os
 
-    if _os.environ.get("V2E_SELECT", "topk") == "scan":
+    if (cfg.select or _os.environ.get("V2E_SELECT", "topk")) == "scan":
         idx = _select_occupied_scan(occ, capacity)
     else:
         idx = _select_occupied(occ, capacity)

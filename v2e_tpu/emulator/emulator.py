@@ -103,6 +103,13 @@ def _capacity_bucket(n: int) -> int:
     return cap
 
 
+def _blob_statics(handle: Dict) -> Tuple[int, int]:
+    """(total cells, frames) of a chunk — the trace-time constants that
+    pick the sparse-blob byte layout (core.blob_plan)."""
+    shape = handle["outs"]["ev_count"].shape
+    return int(np.prod(shape)), int(shape[0])
+
+
 class EventEmulator:
     """Stateful DVS emulator with the reference's constructor surface."""
 
@@ -137,6 +144,7 @@ class EventEmulator:
         label_signal_noise: bool = False,
         shuffle_events_within_iteration: bool = True,
         compaction_capacity_hint: Optional[int] = None,
+        compaction_select: str = "",
         mesh=None,
         parallel_mode: str = "pixel",
         segment_warmup: int = 8,
@@ -189,6 +197,7 @@ class EventEmulator:
             seed=seed,
             probe=record_single_pixel_states,
             emit_states=emit_states,
+            select=compaction_select,
         )
         if mesh is not None or pad_rows:
             import dataclasses
@@ -617,7 +626,8 @@ class EventEmulator:
         pcap = min(
             _capacity_bucket(int(1.25 * n_pred) + 1), handle["capacity"]
         )
-        pre = slice_packed(handle["packed"]["sparse"], pcap)
+        total, frames = _blob_statics(handle)
+        pre = slice_packed(handle["packed"]["sparse"], pcap, total, frames)
         handle["pre_sliced"] = (pcap, pre)
 
     def collect(self, handle: Dict):
@@ -665,9 +675,11 @@ class EventEmulator:
             logger.info(f"compaction capacity {handle['capacity']} -> {cap}")
             sparse = compact_chunk(self.cfg, handle["outs"], cap)
             cap_eff = int(sparse["idx"].shape[0])  # clamped to the cell count
+            total, frames = _blob_statics(handle)
             packed.update(
                 unpack_sparse_blob(
-                    np.asarray(slice_packed(sparse, cap_eff)), cap_eff, has_shot
+                    np.asarray(slice_packed(sparse, cap_eff, total, frames)),
+                    cap_eff, has_shot, total, frames,
                 )
             )
             self._capacity = cap
@@ -678,7 +690,10 @@ class EventEmulator:
             _diag_mark(phases, "slice_dispatch")
             blob = np.asarray(pre)
             _diag_mark(phases, "fetch_phase2")
-            packed.update(unpack_sparse_blob(blob, pcap, has_shot))
+            total, frames = _blob_statics(handle)
+            packed.update(
+                unpack_sparse_blob(blob, pcap, has_shot, total, frames)
+            )
             self._capacity = max(
                 self._capacity, _capacity_bucket(2 * max(n_occ, 1))
             )
@@ -686,11 +701,16 @@ class EventEmulator:
             # phase 2: ONE fetch of only the occupied bucket (not the 2x
             # headroom), serialized into a single buffer
             fetch_cap = min(_capacity_bucket(max(n_occ, 1)), handle["capacity"])
-            sliced = slice_packed(dev_packed["sparse"], fetch_cap)
+            total, frames = _blob_statics(handle)
+            sliced = slice_packed(
+                dev_packed["sparse"], fetch_cap, total, frames
+            )
             _diag_mark(phases, "slice_dispatch")
             blob = np.asarray(sliced)
             _diag_mark(phases, "fetch_phase2")
-            packed.update(unpack_sparse_blob(blob, fetch_cap, has_shot))
+            packed.update(
+                unpack_sparse_blob(blob, fetch_cap, has_shot, total, frames)
+            )
             # adapt grow-only: each new bucket is a recompile, so never shrink
             self._capacity = max(
                 self._capacity, _capacity_bucket(2 * max(n_occ, 1))

@@ -335,5 +335,35 @@ class DDDH5Writer:
         ds[n] = (ts, data)
         self.counts[dataset] = n + 1
 
+    def append_packet(self, header: bytes, data: bytes) -> None:
+        """Append one raw caer packet as a DDD recording row.
+
+        Writes the [seq, header, payload] vlen-uint8 triplet layout that
+        DDD20 recordings store under ``dvs/data`` (the same rows
+        `DDD20SimpleReader.readPacket` unpacks), so a file written this way
+        round-trips through the reader (tests/test_ddd.py).
+        """
+        import h5py
+
+        if "data" not in self.datasets:
+            dt = h5py.special_dtype(vlen=np.dtype("uint8"))
+            self.datasets["data"] = self.group.create_dataset(
+                "data",
+                shape=(0, 3),
+                maxshape=(None, 3),
+                chunks=(self.CHUNK_SIZE, 3),
+                dtype=dt,
+            )
+            self.counts["data"] = 0
+        ds = self.datasets["data"]
+        n = self.counts["data"]
+        ds.resize(n + 1, axis=0)
+        import struct
+
+        ds[n, 0] = np.frombuffer(struct.pack("<q", n), dtype=np.uint8)
+        ds[n, 1] = np.frombuffer(header, dtype=np.uint8)
+        ds[n, 2] = np.frombuffer(data, dtype=np.uint8)
+        self.counts["data"] = n + 1
+
     def close(self) -> None:
         self.f.close()
