@@ -159,7 +159,15 @@ def main() -> int:
             drain_one(counters)
 
     # ---- warm (compiles + allocator warmup), fully drained ----
-    run_window(0, N_WARM, DEPTH)
+    # depth 1 (serial submit->collect), NOT the pipeline depth: the
+    # submit-time pre-slice program only exists once a first chunk has
+    # been collected, so a depth-D warm of N_WARM <= D chunks would push
+    # its compile into the first measured submissions (observed round 5:
+    # one in-window remote compile turned a 2.4x window into 0.297x)
+    run_window(0, N_WARM, 1)
+    # compile the neighboring occupancy buckets' slice programs too, so a
+    # mid-window bucket crossing can't trigger a compile
+    emulator.prewarm_collect()
 
     # ---- measured depth-6 window: clock from first submission ----
     meas = [0, 0.0]  # events, dvs seconds

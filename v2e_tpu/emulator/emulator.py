@@ -266,6 +266,7 @@ class EventEmulator:
         # last collected occupied-cell count: sizes the submit-time
         # pre-sliced fetch buffer (see _pre_slice)
         self._last_nocc: Optional[int] = None
+        self._last_sparse = None
 
         # single pixel probe storage (reference emulator.py:291-302)
         self.record_single_pixel_states = record_single_pixel_states
@@ -715,6 +716,9 @@ class EventEmulator:
             self._capacity = max(
                 self._capacity, _capacity_bucket(2 * max(n_occ, 1))
             )
+        # kept for prewarm_collect (a live reference to ANY chunk's sparse
+        # arrays is enough to compile neighboring slice buckets)
+        self._last_sparse = (dev_packed["sparse"], _blob_statics(handle))
         fetched = {"packed": packed}
         if self.cfg.probe is not None:
             fetched["probe"] = np.asarray(dev_packed["probe"])
@@ -724,6 +728,23 @@ class EventEmulator:
             for (name, t1), (_, t0) in zip(phases[1:], phases[:-1]):
                 COLLECT_DIAG.setdefault(name, []).append(t1 - t0)
         return fetched
+
+    def prewarm_collect(self, spreads=(0.5, 1.0, 2.0)) -> None:
+        """Compile the phase-2 slice programs for the occupancy buckets
+        around the last collected chunk's, so a mid-stream bucket crossing
+        never pays a compile inside a measured window (a remote compile
+        landed inside a bench window and cost it 8x, round 5).  Call after
+        at least one chunk has been collected; no-op before that."""
+        if self._last_sparse is None or self._last_nocc is None:
+            return
+        sparse, (total, frames) = self._last_sparse
+        capacity = int(sparse["idx"].shape[0])
+        for s in spreads:
+            pcap = min(
+                _capacity_bucket(int(1.25 * s * self._last_nocc) + 1),
+                capacity,
+            )
+            slice_packed(sparse, pcap, total, frames).block_until_ready()
 
     def collect_finalize(self, handle: Dict, fetched: Dict):
         """Stage 2 of `collect`: host event materialization + sink writes.

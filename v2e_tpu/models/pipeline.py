@@ -126,9 +126,16 @@ def run_interpolated_pipeline(
     def _finalize(handle, ffut):
         return emulator.collect_finalize(handle, ffut.result())
 
+    prewarmed = [False]
+
     def drain_one() -> None:
         fut, handle = pending.popleft()
         events, _, offsets = fut.result()
+        if not prewarmed[0]:
+            # front-load the neighboring occupancy buckets' slice-program
+            # compiles so they never stall the stream mid-run
+            prewarmed[0] = True
+            emulator.prewarm_collect()
         if fused is not None and handle is not None:
             fused.note_collected(handle)  # lookahead warp window
         if events.shape[0]:
