@@ -45,6 +45,24 @@ def host_feature_tag() -> str:
     return digest
 
 
+def _repo_cache_dir(tag: str) -> str | None:
+    """Committed in-repo cache for this host tag, if one exists.
+
+    The benchmark host's HOME is wiped whenever its VM is recreated, but the
+    repo checkout persists — so a cache primed into HOME never survives to
+    the next cold start (round 4 paid ~18 min of first compiles for exactly
+    this reason).  A cache directory committed into the repo does survive.
+    Opt-in by existence: we only redirect when the tagged directory is
+    already present, so ordinary checkouts keep using HOME and a
+    foreign-host checkout (different CPU tag) safely ignores it.
+    """
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    cand = os.path.join(repo_root, ".xla_cache-" + tag)
+    return cand if os.path.isdir(cand) else None
+
+
 def enable_persistent_cache(logger=None) -> str | None:
     """Point JAX at a host-keyed persistent compilation cache directory.
 
@@ -52,13 +70,16 @@ def enable_persistent_cache(logger=None) -> str | None:
     base location, or to the empty string to disable caching entirely.
     Returns the directory used (None when disabled or unsupported).
     """
+    tag = host_feature_tag()
     base = os.environ.get(
         "V2E_COMPILATION_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "v2e_tpu_xla"),
     )
     if not base:
         return None
-    cache_dir = base + "-" + host_feature_tag()
+    cache_dir = base + "-" + tag
+    if "V2E_COMPILATION_CACHE" not in os.environ:
+        cache_dir = _repo_cache_dir(tag) or cache_dir
     import jax
 
     if (
