@@ -61,12 +61,15 @@ def test_unet_forward_blocked_matches_dense():
     np.testing.assert_allclose(blocked, dense, atol=5e-5, rtol=1e-4)
 
 
-@pytest.mark.parametrize("impl", ["packed", "packedup"])
+@pytest.mark.parametrize("impl", ["packed", "packedup", "packedz"])
 @pytest.mark.parametrize("base,cin,cout", [(8, 12, 5), (16, 2, 4)])
 def test_unet_forward_packed_matches_dense(base, cin, cout, impl):
     """Packed-RESIDENT forms (pack once, conv pairs + pooling stay packed,
     unpack only at skip taps; packedup also runs up4/up5/conv3 packed with
-    packed skip concats) == dense, whole forward."""
+    packed skip concats; packedz runs the lane-bound k=3 up-tail through
+    the scatter-matmul Pallas kernel, interpret mode on CPU, with dense
+    fallback on strips that don't fit — both paths exercised here) ==
+    dense, whole forward."""
     spec = UNetSpec(cin, cout, base)
     rng = np.random.default_rng(11 + base)
     params = init_unet_host(rng, spec)

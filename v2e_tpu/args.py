@@ -164,19 +164,22 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                                   "~1e-5, 2x the warp MXU passes), highest "
                                   "(bf16x6, f32-exact)")
     slomo_group.add_argument("--unet_conv", type=str, default="auto",
-                             choices=["auto", "packed", "packedup",
+                             choices=["auto", "packed", "packedz", "packedup",
                                       "blocked", "dense"],
                              help="UNet conv execution form (identical math "
                                   "in all forms): packed keeps a column-"
                                   "packed lane-filling layout RESIDENT "
                                   "across the leading conv pairs (-27%% "
-                                  "interp forward on v5e); packedup also "
-                                  "packs the up path (slower on v5e); "
-                                  "blocked is the round-4 per-layer form "
-                                  "(slower: per-layer repacking); dense "
-                                  "runs plain stride-1 convs. auto = "
-                                  "packed on TPU, dense elsewhere (see "
-                                  "benchmarks/README.md)")
+                                  "interp forward on v5e); packedz "
+                                  "additionally runs the lane-bound k=3 "
+                                  "up-tail through a scatter-matmul Pallas "
+                                  "kernel (ops/pallas/conv3.py); packedup "
+                                  "packs the up path instead (slower on "
+                                  "v5e); blocked is the round-4 per-layer "
+                                  "form (slower: per-layer repacking); "
+                                  "dense runs plain stride-1 convs. auto = "
+                                  "the best measured TPU form, dense "
+                                  "elsewhere (see benchmarks/README.md)")
     slomo_group.add_argument("--slomo_use_saved", action="store_true",
                              help="cache the interpolated frame stream and "
                                   "reuse it on later runs with the same "

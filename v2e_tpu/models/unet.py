@@ -218,6 +218,28 @@ def _lrelu(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(x, jnp.asarray(0.1, x.dtype) * x)
 
 
+# Lane-conv eligibility: XLA's dense conv puts Co on the MXU lanes, so
+# k=3 layers with Co below this threshold waste >=50% of every pass; the
+# scatter-matmul Pallas kernel (ops/pallas/conv3.py) reorders the taps
+# onto the lane/contraction dims instead.  Applied to the up-tail by the
+# "packedz" form (see unet_apply_nhwc).
+_LANE3_MAX_CO = 64
+
+
+def _conv_block3_lane(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Lane-filling 3x3 conv + bias + LeakyReLU where it pays; dense
+    fallback for ineligible shapes (k != 3, lane-full Co, VMEM overflow)."""
+    from v2e_tpu.ops.pallas.conv3 import conv3x3_lane, conv3x3_lane_supported
+
+    w = p["w"]
+    co, k = w.shape[0], w.shape[-1]
+    if k == 3 and co <= _LANE3_MAX_CO and conv3x3_lane_supported(x.shape, co):
+        return conv3x3_lane(
+            x, w, p["b"], interpret=jax.default_backend() != "tpu"
+        )
+    return _conv_block(x, p)
+
+
 def _conv_block_pk(xp: jnp.ndarray, p: Dict[str, jnp.ndarray], P: int) -> jnp.ndarray:
     """Blocked conv + bias + LeakyReLU on an ALREADY-PACKED input.
 
@@ -291,11 +313,15 @@ def unet_apply_nhwc(
     channels, lane-full) runs dense.
     """
     if (
-        conv_impl in ("packed", "packedup")
+        conv_impl in ("packed", "packedup", "packedz")
         and x.shape[2] % 4 == 0
         and x.shape[1] % 4 == 0
     ):
-        return _unet_apply_nhwc_packed(params, x, up=conv_impl == "packedup")
+        return _unet_apply_nhwc_packed(
+            params, x,
+            up=conv_impl == "packedup",
+            lane3=conv_impl == "packedz",
+        )
     cb = functools.partial(_conv_block, conv_impl=conv_impl)
     x = cb(x, params["conv1"])
     s1 = cb(x, params["conv2"])
@@ -328,13 +354,20 @@ def _cat_packed(ap: jnp.ndarray, bp: jnp.ndarray, P: int) -> jnp.ndarray:
 
 
 def _unet_apply_nhwc_packed(
-    params: Params, x: jnp.ndarray, up: bool = False
+    params: Params, x: jnp.ndarray, up: bool = False, lane3: bool = False
 ) -> jnp.ndarray:
     """Packed-resident forward: see unet_apply_nhwc(conv_impl="packed").
 
     up=True additionally runs the lane-bound up-path pairs (up4 at P=2,
     up5 + conv3 at P=4) packed, concatenating with the skip taps directly
     in packed space (the down-path skips are kept packed for it).
+
+    lane3=True ("packedz") instead runs the lane-bound k=3 up-tail layers
+    (Co <= 64: up4/up5 conv pairs and the output head) through the
+    scatter-matmul Pallas kernel (ops/pallas/conv3.py) — exact dense-conv
+    MACs at full lane occupancy; per-stage attribution had these at
+    13-28% of bf16 peak under XLA's dense lowering while the >=128-channel
+    mid-levels were already at 79-100% (scripts/bench_unet_stages.py).
     """
     n, h, w, cin = x.shape
     xp = x.reshape(n, h, w // 4, 4 * cin)
@@ -353,13 +386,14 @@ def _unet_apply_nhwc_packed(
         if i < 5:
             skips.append(x)
             x = _avg_pool2_nhwc(x)
+    cb3 = _conv_block3_lane if lane3 else _conv_block
     for i in range(1, 4 if up else 6):
         skip = skips[5 - i]
         x = _upsample2_nhwc(x)
-        x = _conv_block(x, params[f"up{i}.conv1"])
-        x = _conv_block(jnp.concatenate([x, skip], axis=-1), params[f"up{i}.conv2"])
+        x = cb3(x, params[f"up{i}.conv1"])
+        x = cb3(jnp.concatenate([x, skip], axis=-1), params[f"up{i}.conv2"])
     if not up:
-        return _conv_block(x, params["conv3"])
+        return cb3(x, params["conv3"])
     # up4 at P=2, packed concat with s2p
     xp = _upsample2_nhwc(x).reshape(n, h // 2, w // 4, -1)
     xp = _conv_block_pk(xp, params["up4.conv1"], 2)
