@@ -151,13 +151,14 @@ def main() -> int:
     for u in prefixes:
         dtms = p50[u] - prev
         prev = p50[u]
+        # GFLOP / ms == TFLOP/s; v5e bf16 peak is 197 TF/s
         tfs = fl[STAGES[u]] / max(dtms, 1e-9) / 1e9
         print(f"{STAGES[u]:6s} prefix {p50[u]:7.1f} ms | stage {dtms:6.1f} ms "
-              f"| {fl[STAGES[u]]/1e9:6.1f} GFLOP | {tfs:6.0f} GF/s "
-              f"({tfs/197e3*100:4.1f}% v5e bf16 peak)")
+              f"| {fl[STAGES[u]]/1e9:6.1f} GFLOP | {tfs:6.0f} TF/s "
+              f"({tfs/197*100:4.1f}% v5e bf16 peak)")
+    tot = total_fl / p50[prefixes[-1]] / 1e9
     print(f"total  {p50[prefixes[-1]]:7.1f} ms | {total_fl/1e12:.2f} TFLOP | "
-          f"{total_fl/p50[prefixes[-1]]/1e9:.0f} GF/s "
-          f"({total_fl/p50[prefixes[-1]]/1e9/197e3*100:.1f}% peak)")
+          f"{tot:.0f} TF/s ({tot/197*100:.1f}% peak)")
     return 0
 
 

@@ -173,13 +173,15 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                                   "interp forward on v5e); packedz "
                                   "additionally runs the lane-bound k=3 "
                                   "up-tail through a scatter-matmul Pallas "
-                                  "kernel (ops/pallas/conv3.py); packedup "
-                                  "packs the up path instead (slower on "
-                                  "v5e); blocked is the round-4 per-layer "
-                                  "form (slower: per-layer repacking); "
-                                  "dense runs plain stride-1 convs. auto = "
-                                  "the best measured TPU form, dense "
-                                  "elsewhere (see benchmarks/README.md)")
+                                  "kernel (ops/pallas/conv3.py — measured "
+                                  "SLOWER on v5e, kept as a measurement "
+                                  "baseline); packedup packs the up path "
+                                  "instead (slower on v5e); blocked is the "
+                                  "round-4 per-layer form (slower: "
+                                  "per-layer repacking); dense runs plain "
+                                  "stride-1 convs. auto = packed on TPU, "
+                                  "dense elsewhere (see "
+                                  "benchmarks/README.md)")
     slomo_group.add_argument("--slomo_use_saved", action="store_true",
                              help="cache the interpolated frame stream and "
                                   "reuse it on later runs with the same "

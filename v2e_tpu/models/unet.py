@@ -233,7 +233,11 @@ def _conv_block3_lane(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
 
     w = p["w"]
     co, k = w.shape[0], w.shape[-1]
-    if k == 3 and co <= _LANE3_MAX_CO and conv3x3_lane_supported(x.shape, co):
+    if (
+        k == 3
+        and co <= _LANE3_MAX_CO
+        and conv3x3_lane_supported(x.shape, co, itemsize=x.dtype.itemsize)
+    ):
         return conv3x3_lane(
             x, w, p["b"], interpret=jax.default_backend() != "tpu"
         )
@@ -363,11 +367,13 @@ def _unet_apply_nhwc_packed(
     in packed space (the down-path skips are kept packed for it).
 
     lane3=True ("packedz") instead runs the lane-bound k=3 up-tail layers
-    (Co <= 64: up4/up5 conv pairs and the output head) through the
-    scatter-matmul Pallas kernel (ops/pallas/conv3.py) — exact dense-conv
-    MACs at full lane occupancy; per-stage attribution had these at
-    13-28% of bf16 peak under XLA's dense lowering while the >=128-channel
-    mid-levels were already at 79-100% (scripts/bench_unet_stages.py).
+    (Co in [32, 64]: the up4/up5 conv pairs) through the scatter-matmul
+    Pallas kernel (ops/pallas/conv3.py) — exact dense-conv MACs at full
+    lane occupancy; per-stage attribution had these at 13-28% of bf16
+    peak under XLA's dense lowering while the >=128-channel mid-levels
+    were already at 79-100% (scripts/bench_unet_stages.py).  MEASURED
+    SLOWER than dense on v5e (Mosaic tap-accumulation costs; see the
+    kernel docstring) — an opt-in measurement baseline, not the default.
     """
     n, h, w, cin = x.shape
     xp = x.reshape(n, h, w // 4, 4 * cin)

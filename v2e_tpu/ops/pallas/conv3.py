@@ -37,6 +37,19 @@ buffer a few MB for the UNet shapes this targets (346x260-class video);
 if the estimated VMEM footprint exceeds the budget the caller should fall
 back to the dense conv (see `conv3x3_lane_supported`).
 
+MEASURED OUTCOME (v5e, round 5): correct but SLOWER than XLA's dense
+lowering — up5-shape 27.8 ms/conv vs ~9.5 dense, up4-shape 12.2 vs ~4.4.
+The MXU-occupancy win is real, but every legal tap-accumulation scheme
+pays more than it saves: lane-offset slices lower to VPU lane rotates
+over the (taps*Co-wide, 128-padded) z; the two alternatives that would
+avoid them are Mosaic-unsupported (see the in-kernel comment), and
+folding taps back into the contraction is plain im2col (N=Co, the lane
+waste this kernel exists to fix).  XLA's dense conv accumulates taps
+inside the MXU, which for k=3 / Co<=64 sits closer to the Pareto
+frontier than any reformulation tried.  Kept as an opt-in measurement
+baseline (`--unet_conv packedz`); the default conv form stays "packed".
+Full numbers: benchmarks/README.md "Measured dead ends".
+
 Reference behavior matched: torch Conv2d(k=3, stride=1, padding=1) as
 used by the reference UNet blocks (/root/reference/v2ecore/model.py:10-60).
 """
@@ -60,34 +73,60 @@ def pick_mode(ci: int, co: int) -> str:
     return "hcol" if _occupancy(3 * ci, 3 * co) > _occupancy(ci, 9 * co) else "zfull"
 
 
+def _padl(c: int) -> int:
+    """Lanes Mosaic actually allocates: the last dim pads to 128."""
+    return -(-c // 128) * 128
+
+
 def _vmem_bytes(th: int, W: int, ci: int, co: int, mode: str, isize: int) -> int:
-    """Rough per-program VMEM footprint (x strip + built tensors + z + out)."""
-    xt = (th + 2) * (W + 2) * ci * isize
+    """Per-program VMEM footprint with Mosaic's 128-lane padding.
+
+    Every vector's last dim is padded to a multiple of 128 lanes, so a
+    Co=5 output costs 128 lanes of f32 per temp — the naive (unpadded)
+    estimate was off 25x there and the first TPU compile hit the 16 MB
+    scoped-vmem limit.  Terms: double-buffered in/out blocks (the Pallas
+    pipeline prefetches the next block), the concat-built halo tile and
+    (hcol) column tile plus one copy each, the matmul output z, ~3 live
+    f32 accumulation temps, and the pre-store y."""
+    Wp = W + 2
+    taps = 3 if mode == "hcol" else 9
+    rows_z = (th * Wp if mode == "hcol" else (th + 2) * Wp) + 2
+    b = 2 * th * W * _padl(ci) * isize        # x strip block (dbl-buffered)
+    b += 2 * th * W * _padl(co) * isize       # out block (dbl-buffered)
+    b += 2 * (th + 2) * Wp * _padl(ci) * isize  # xt + concat copy
     if mode == "hcol":
-        built = th * (W + 2) * 3 * ci * isize
-        z = th * (W + 2) * 3 * co * 4
-    else:
-        built = 0
-        z = (th + 2) * (W + 2) * 9 * co * 4
-    out = th * W * co * isize
-    return 2 * xt + built + z + out  # 2x xt: pad copy
+        b += 2 * th * Wp * _padl(3 * ci) * isize  # xcol + reshape copy
+    b += rows_z * _padl(taps * co) * 4        # z
+    b += 3 * th * Wp * _padl(co) * 4          # acc slice temps
+    b += th * Wp * _padl(co) * 4              # y before the store cast
+    return b
+
+
+# Lane-padding also bounds which layers the kernel can HELP: below 32
+# output channels >=75% of every vector op and the out-block DMA is
+# padding waste, and the first compile of a Co=5 layer OOM'd scoped vmem.
+_MIN_CO = 32
 
 
 def choose_th(H: int, W: int, ci: int, co: int, mode: str,
               isize: int = 2, budget: int = 10 * 2**20) -> Optional[int]:
-    """Largest strip height in {32, 16, 8} dividing H that fits the VMEM
-    budget, or None (caller falls back to the dense conv)."""
-    for th in (32, 16, 8):
+    """Largest strip height in {32, 16, 8, 4} dividing H that fits the
+    VMEM budget, or None (caller falls back to the dense conv)."""
+    for th in (32, 16, 8, 4):
         if H % th == 0 and _vmem_bytes(th, W, ci, co, mode, isize) <= budget:
             return th
     return None
 
 
-def conv3x3_lane_supported(x_shape, co: int, mode: str = "auto") -> bool:
+def conv3x3_lane_supported(
+    x_shape, co: int, mode: str = "auto", itemsize: int = 2
+) -> bool:
     n, H, W, ci = x_shape
+    if co < _MIN_CO:
+        return False
     if mode == "auto":
         mode = pick_mode(ci, co)
-    return choose_th(H, W, ci, co, mode) is not None
+    return choose_th(H, W, ci, co, mode, itemsize) is not None
 
 
 def _kernel(xt_ref, xa_ref, xb_ref, w_ref, b_ref, o_ref, *,
@@ -103,13 +142,25 @@ def _kernel(xt_ref, xa_ref, xb_ref, w_ref, b_ref, o_ref, *,
     xt = jnp.concatenate([zc, xt, zc], axis=1)  # [th+2, W+2, Ci]
     # The tap accumulation works on the FLATTENED [M, taps*Co] matmul
     # output: tap t's contribution to output row m lives at z row m +
-    # rowshift(t), columns [t*Co, (t+1)*Co).  Mosaic supports these
-    # lane-dim slices at Co offsets and the leading-dim reshape at the
-    # end, but NOT splitting the lane dim (z.reshape(..., taps, Co) fails
-    # infer-vector-layout), which is why the shifts are done row-wise on
-    # the 2D view.  Junk rows (padded columns c >= W and the z-row
-    # overhang) never feed a kept output: they are sliced away after the
-    # final reshape.
+    # rowshift(t), columns [t*Co, (t+1)*Co).  Junk rows (padded columns
+    # c >= W and the z-row overhang) never feed a kept output: they are
+    # sliced away after the final reshape.
+    #
+    # Mosaic constraints mapped while tuning this (round 5, see
+    # benchmarks/README.md dead-ends):
+    #  * z.reshape(..., taps, Co) — lane-dim split — fails
+    #    infer-vector-layout;
+    #  * folding the taps with a second matmul against a 0/1 selection
+    #    matrix needs a row-shifted window concat on the lane dim, which
+    #    fails with "result/input offset mismatch on non-concat
+    #    dimension" (the three shifted slices carry different sublane
+    #    offsets);
+    #  * what remains — lane-dim slices at Co offsets — compiles and is
+    #    exact, but lowers to lane rotates that dominate the runtime:
+    #    measured 27.8 ms/conv (up5) and 12.2 ms/conv (up4) vs 9.5/4.4
+    #    dense.  The kernel is kept as a measurement baseline and for
+    #    re-evaluation on future TPU generations / Mosaic releases, NOT
+    #    as the default (auto conv form stays "packed").
     Mo = th * (W + 2)
     if mode == "hcol":
         xcol = jnp.concatenate(
