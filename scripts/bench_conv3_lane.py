@@ -41,7 +41,11 @@ def main() -> int:
 
     enable_persistent_cache()
     from v2e_tpu.models.unet import _conv_block
-    from v2e_tpu.ops.pallas.conv3 import conv3x3_lane, pick_mode
+    from v2e_tpu.ops.pallas.conv3 import (
+        conv3x3_lane,
+        conv3x3_lane_supported,
+        pick_mode,
+    )
 
     dt = jnp.bfloat16
     rng = np.random.default_rng(0)
@@ -49,7 +53,13 @@ def main() -> int:
 
     variants = {}  # (label, form) -> jitted loop
     args = {}
-    for label, n, h, w, ci, co in SHAPES:
+    shapes = [s for s in SHAPES
+              if conv3x3_lane_supported((s[1], s[2], s[3], s[4]), s[5])]
+    for s in SHAPES:
+        if s not in shapes:
+            print(f"# skipped (unsupported: Co<32 or VMEM): {s[0]}",
+                  file=sys.stderr)
+    for label, n, h, w, ci, co in shapes:
         x = jax.device_put(jnp.asarray(
             rng.standard_normal((n, h, w, ci)).astype(np.float32), dtype=dt))
         wt = jnp.asarray(
@@ -91,13 +101,14 @@ def main() -> int:
             times[key].append((time.perf_counter() - t) / K * 1e3)
 
     print("layer                         | dense p50 | lane p50 | speedup")
-    for label, n, h, w, ci, co in SHAPES:
+    for label, n, h, w, ci, co in shapes:
         d = float(np.median(times[(label, "dense")][2:]))
         lk = [k for k in times if k[0] == label and k[1] != "dense"][0]
         l = float(np.median(times[lk][2:]))
         fl = 2 * n * h * w * ci * co * 9
+        # GFLOP / ms == TF/s
         print(f"{label} | {d:7.2f} ms | {l:7.2f} ms | {d/l:4.2f}x "
-              f"({lk[1]}, lane {fl/l/1e9:.0f} GF/s)")
+              f"({lk[1]}, lane {fl/l/1e9:.0f} TF/s)")
     return 0
 
 
