@@ -164,14 +164,20 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                                   "~1e-5, 2x the warp MXU passes), highest "
                                   "(bf16x6, f32-exact)")
     slomo_group.add_argument("--unet_conv", type=str, default="auto",
-                             choices=["auto", "packed", "packedz", "packedup",
-                                      "blocked", "dense"],
+                             choices=["auto", "packedfold", "packed", "fold",
+                                      "packedz", "packedup", "blocked",
+                                      "dense"],
                              help="UNet conv execution form (identical math "
                                   "in all forms): packed keeps a column-"
                                   "packed lane-filling layout RESIDENT "
                                   "across the leading conv pairs (-27%% "
-                                  "interp forward on v5e); packedz "
-                                  "additionally runs the lane-bound k=3 "
+                                  "interp forward on v5e); fold collapses "
+                                  "each up-path bilinear-x2+conv3 pair into "
+                                  "ONE half-res conv with the 4 output "
+                                  "phases stacked on channels (fills the "
+                                  "lanes AND skips the upsampled tensor's "
+                                  "HBM round trip); packedfold combines "
+                                  "both; packedz runs the lane-bound k=3 "
                                   "up-tail through a scatter-matmul Pallas "
                                   "kernel (ops/pallas/conv3.py — measured "
                                   "SLOWER on v5e, kept as a measurement "
@@ -179,8 +185,8 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                                   "instead (slower on v5e); blocked is the "
                                   "round-4 per-layer form (slower: "
                                   "per-layer repacking); dense runs plain "
-                                  "stride-1 convs. auto = packed on TPU, "
-                                  "dense elsewhere (see "
+                                  "stride-1 convs. auto = best measured "
+                                  "form on TPU, dense elsewhere (see "
                                   "benchmarks/README.md)")
     slomo_group.add_argument("--slomo_use_saved", action="store_true",
                              help="cache the interpolated frame stream and "

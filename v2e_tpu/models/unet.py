@@ -303,6 +303,121 @@ def _upsample2_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="bilinear")
 
 
+# --- Folded upsample+conv ("fold" forms) -----------------------------------
+#
+# bilinear x2 (half-pixel, edge-clamped) followed by a 3x3 'same' conv is a
+# LINEAR map from the half-res input, so the pair collapses into ONE half-res
+# 3x3 conv whose 4 output phases (r, c in {0,1}^2 = full-res row/col parity)
+# stack on the output-channel axis.  Both phases of a parity read the SAME
+# 3-tap half-res window (up[2H+r+dy] for dy in {-1,0,1} touches exactly
+# x[H-1..H+1] for r in {0,1}), so one VALID conv over an edge-padded input
+# produces every phase.  This is the up-tail fix the per-op attribution
+# asked for (benchmarks/README.md): Co=32 dense convs run at <=25% MXU lane
+# occupancy, while the folded conv has 4*Co output channels AND skips the
+# upsampled tensor's HBM round trip entirely.
+#
+# _UPFOLD_A[r][i][d] = coefficient of half-res tap x[H+i-1] contributed by
+# dense kernel tap w[d] at output parity r, from
+#   up[2h]   = 0.25 x[h-1] + 0.75 x[h]
+#   up[2h+1] = 0.75 x[h]   + 0.25 x[h+1].
+_UPFOLD_A = (
+    ((0.75, 0.25, 0.0), (0.25, 0.75, 0.75), (0.0, 0.0, 0.25)),  # r = 0
+    ((0.25, 0.0, 0.0), (0.75, 0.75, 0.25), (0.0, 0.25, 0.75)),  # r = 1
+)
+
+
+def _upfold_kernel(w: jnp.ndarray, dtype) -> jnp.ndarray:
+    """OIHW [Co,Ci,3,3] -> folded half-res HWIO kernel [3,3,Ci,4*Co].
+
+    Output channel order is (r, c, co) — matching the [.., 2, 2, Co] phase
+    reshape of the conv result.  Fold weights combine in float32 (exact
+    0.25/0.75 factors) and cast to the compute dtype once.
+    """
+    a = jnp.asarray(_UPFOLD_A, jnp.float32)  # [2, 3(tap i), 3(dense d)]
+    wf = jnp.einsum(
+        "rad,sbe,oide->rsoiab", a, a, w.astype(jnp.float32)
+    )  # [r, c, Co, Ci, 3, 3]
+    rc, co, ci = 4, w.shape[0], w.shape[1]
+    wf = wf.reshape(rc * co, ci, 3, 3)
+    return jnp.transpose(wf, (2, 3, 1, 0)).astype(dtype)  # HWIO [3,3,Ci,4Co]
+
+
+def _upconv_fold_block(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """`_conv_block(_upsample2_nhwc(x), p)` as ONE half-res conv (k=3 only).
+
+    x: [N, Hh, Wh, Ci] half-res; returns [N, 2*Hh, 2*Wh, Co] — identical
+    math to upsample-then-conv up to float reassociation (pinned by
+    tests/test_unet_fold.py).
+
+    Edge handling composes two different paddings: the bilinear CLAMPS at
+    the half-res border (handled exactly by edge-padding x, because the
+    bilinear tap weights sum to 1), while the conv ZERO-pads beyond the
+    full-res extent.  The folded conv over the edge-padded input therefore
+    over-counts exactly the conv taps that fall outside [0, 2Hh) x [0, 2Wh)
+    — a 1-pixel output ring — and those spurious contributions are
+    subtracted with four tiny 1-D convs (plus inclusion-exclusion add-backs
+    at the corners, where row and column corrections overlap), all applied
+    pre-activation in phase space.
+    """
+    w, b = p["w"], p["b"]
+    n, hh, wh, ci = x.shape
+    co = w.shape[0]
+    wf = _upfold_kernel(w, x.dtype)
+    xe = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    z = jax.lax.conv_general_dilated(
+        xe, wf,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    ).reshape(n, hh, wh, 2, 2, co)
+
+    wc = w.astype(x.dtype)
+
+    def _row_corr(row, wrow):
+        # row: [N, 1, Wh, Ci] half-res border row; wrow: [Co, Ci, 3] — the
+        # dense-kernel H-tap that lands on the spurious out-of-range up row.
+        # That row equals the border row W-upsampled (all H clamps collapse),
+        # and its own out-of-range columns equal its corner pixels (edge pad).
+        up = jax.image.resize(row, (n, 1, 2 * wh, ci), method="bilinear")
+        up = jnp.pad(up, ((0, 0), (0, 0), (1, 1), (0, 0)), mode="edge")
+        k = jnp.transpose(wrow, (2, 1, 0))[None].astype(x.dtype)  # [1,3,Ci,Co]
+        c = jax.lax.conv_general_dilated(
+            up, k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )  # [N, 1, 2Wh, Co]
+        return c.reshape(n, wh, 2, co)
+
+    def _col_corr(col, wcol):
+        up = jax.image.resize(col, (n, 2 * hh, 1, ci), method="bilinear")
+        up = jnp.pad(up, ((0, 0), (1, 1), (0, 0), (0, 0)), mode="edge")
+        k = jnp.transpose(wcol, (2, 1, 0))[:, None].astype(x.dtype)  # [3,1,Ci,Co]
+        c = jax.lax.conv_general_dilated(
+            up, k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=x.dtype,
+        )  # [N, 2Hh, 1, Co]
+        return c.reshape(n, hh, 2, co)
+
+    # full-res row 0 is parity r=0 at H=0; row 2Hh-1 is r=1 at H=Hh-1
+    z = z.at[:, 0, :, 0].add(-_row_corr(x[:, :1], w[:, :, 0, :]))
+    z = z.at[:, -1, :, 1].add(-_row_corr(x[:, -1:], w[:, :, 2, :]))
+    z = z.at[:, :, 0, :, 0].add(-_col_corr(x[:, :, :1], w[:, :, :, 0]))
+    z = z.at[:, :, -1, :, 1].add(-_col_corr(x[:, :, -1:], w[:, :, :, 2]))
+    # corners: the (out-of-range row AND column) tap was subtracted twice
+    for hi, wi, r, c, dy, dx in (
+        (0, 0, 0, 0, 0, 0), (0, -1, 0, 1, 0, 2),
+        (-1, 0, 1, 0, 2, 0), (-1, -1, 1, 1, 2, 2),
+    ):
+        term = x[:, hi, wi, :] @ jnp.transpose(wc[:, :, dy, dx])  # [N, Co]
+        z = z.at[:, hi, wi, r, c].add(term)
+
+    z = z + b.astype(x.dtype)
+    z = jnp.maximum(z, jnp.asarray(0.1, x.dtype) * z)
+    return jnp.transpose(z, (0, 1, 3, 2, 4, 5)).reshape(n, 2 * hh, 2 * wh, co)
+
+
 def unet_apply_nhwc(
     params: Params, x: jnp.ndarray, conv_impl: str = "dense"
 ) -> jnp.ndarray:
@@ -317,7 +432,7 @@ def unet_apply_nhwc(
     channels, lane-full) runs dense.
     """
     if (
-        conv_impl in ("packed", "packedup", "packedz")
+        conv_impl in ("packed", "packedup", "packedz", "packedfold")
         and x.shape[2] % 4 == 0
         and x.shape[1] % 4 == 0
     ):
@@ -325,8 +440,12 @@ def unet_apply_nhwc(
             params, x,
             up=conv_impl == "packedup",
             lane3=conv_impl == "packedz",
+            fold=conv_impl == "packedfold",
         )
-    cb = functools.partial(_conv_block, conv_impl=conv_impl)
+    fold = conv_impl == "fold"
+    cb = functools.partial(
+        _conv_block, conv_impl="dense" if fold else conv_impl
+    )
     x = cb(x, params["conv1"])
     s1 = cb(x, params["conv2"])
     skips = [s1]
@@ -340,8 +459,10 @@ def unet_apply_nhwc(
     # skips = [s1, s2, s3, s4, s5]; bottleneck x pairs with s5 first
     for i in range(1, 6):
         skip = skips[5 - i]
-        x = _upsample2_nhwc(x)
-        x = cb(x, params[f"up{i}.conv1"])
+        if fold:
+            x = _upconv_fold_block(x, params[f"up{i}.conv1"])
+        else:
+            x = cb(_upsample2_nhwc(x), params[f"up{i}.conv1"])
         x = cb(jnp.concatenate([x, skip], axis=-1), params[f"up{i}.conv2"])
     return cb(x, params["conv3"])
 
@@ -358,7 +479,11 @@ def _cat_packed(ap: jnp.ndarray, bp: jnp.ndarray, P: int) -> jnp.ndarray:
 
 
 def _unet_apply_nhwc_packed(
-    params: Params, x: jnp.ndarray, up: bool = False, lane3: bool = False
+    params: Params,
+    x: jnp.ndarray,
+    up: bool = False,
+    lane3: bool = False,
+    fold: bool = False,
 ) -> jnp.ndarray:
     """Packed-resident forward: see unet_apply_nhwc(conv_impl="packed").
 
@@ -374,6 +499,10 @@ def _unet_apply_nhwc_packed(
     were already at 79-100% (scripts/bench_unet_stages.py).  MEASURED
     SLOWER than dense on v5e (Mosaic tap-accumulation costs; see the
     kernel docstring) — an opt-in measurement baseline, not the default.
+
+    fold=True ("packedfold") collapses every up-path bilinear+conv1 pair
+    into one half-res phase conv (`_upconv_fold_block`) — the up-tail fix
+    that actually measured faster.
     """
     n, h, w, cin = x.shape
     xp = x.reshape(n, h, w // 4, 4 * cin)
@@ -395,8 +524,10 @@ def _unet_apply_nhwc_packed(
     cb3 = _conv_block3_lane if lane3 else _conv_block
     for i in range(1, 4 if up else 6):
         skip = skips[5 - i]
-        x = _upsample2_nhwc(x)
-        x = cb3(x, params[f"up{i}.conv1"])
+        if fold:
+            x = _upconv_fold_block(x, params[f"up{i}.conv1"])
+        else:
+            x = cb3(_upsample2_nhwc(x), params[f"up{i}.conv1"])
         x = cb3(jnp.concatenate([x, skip], axis=-1), params[f"up{i}.conv2"])
     if not up:
         return cb3(x, params["conv3"])
