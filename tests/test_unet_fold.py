@@ -45,7 +45,7 @@ def test_upconv_fold_matches_staged(n, h, w, ci, co):
     np.testing.assert_allclose(folded, staged, atol=3e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("impl", ["fold", "packedfold"])
+@pytest.mark.parametrize("impl", ["fold", "packedfold", "fold45", "packedfold45"])
 @pytest.mark.parametrize("base,cin,cout", [(8, 12, 5), (16, 2, 4)])
 def test_unet_forward_fold_matches_dense(base, cin, cout, impl):
     """Whole-forward equality of the folded up-path against dense, for both

@@ -164,7 +164,8 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                                   "~1e-5, 2x the warp MXU passes), highest "
                                   "(bf16x6, f32-exact)")
     slomo_group.add_argument("--unet_conv", type=str, default="auto",
-                             choices=["auto", "packedfold", "packed", "fold",
+                             choices=["auto", "packedfold", "packedfold45",
+                                      "packed", "fold", "fold45",
                                       "packedz", "packedup", "blocked",
                                       "dense"],
                              help="UNet conv execution form (identical math "
@@ -177,7 +178,11 @@ def v2e_args(parser: argparse.ArgumentParser) -> argparse.ArgumentParser:
                                   "phases stacked on channels (fills the "
                                   "lanes AND skips the upsampled tensor's "
                                   "HBM round trip); packedfold combines "
-                                  "both; packedz runs the lane-bound k=3 "
+                                  "both, and a digit suffix restricts the "
+                                  "fold to those up levels (packedfold45 = "
+                                  "fold only the lane-bound up4/up5 tail — "
+                                  "the fastest measured form on v5e); "
+                                  "packedz runs the lane-bound k=3 "
                                   "up-tail through a scatter-matmul Pallas "
                                   "kernel (ops/pallas/conv3.py — measured "
                                   "SLOWER on v5e, kept as a measurement "

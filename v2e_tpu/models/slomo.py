@@ -332,18 +332,27 @@ class SuperSloMo:
         # ops/pallas/warp.py.
         self.warp_precision = warp_precision
         # UNet conv execution form (unet.py).  "auto" resolves to the
-        # packed-RESIDENT form on TPU: pack 4 columns into the lanes ONCE,
-        # keep the layout resident across the lane-bound leading conv pairs
-        # and the pooling, unpack only at the skip taps.  Measured round 5
+        # packed-RESIDENT form plus the up4/up5 upsample+conv FOLD on TPU:
+        # pack 4 columns into the lanes ONCE, keep the layout resident
+        # across the lane-bound leading conv pairs and the pooling, unpack
+        # only at the skip taps; on the up path, collapse the lane-bound
+        # up4/up5 bilinear-x2+conv1 pairs into ONE half-res conv each with
+        # the 4 output phases stacked on channels (fills the MXU lanes and
+        # skips the upsampled tensor's HBM round trip).  Measured round 5
         # on v5e (scripts/bench_unet_forms.py, interleaved-warm, 80-frame
-        # interp forward at 256x320): dense 91.9 ms -> packed 67.0 ms
-        # (-27%); flow UNet 26.5 -> 21.7 ms.  This fixes the round-4
-        # per-layer "blocked" form, whose per-layer repacking lost its
-        # isolated-layer win (61.5 -> 27.4 ms on the 7x7 layer) to XLA
-        # layout conversions (whole forward 124.5 vs 94.9 ms).  Elsewhere
+        # interp forward at 256x320): dense 91.9 ms -> packed 66.4 ms
+        # (-27%) -> packedfold45 63.3 ms; flow UNet 26.5 -> 21 ms.
+        # Confirmed on the FULL pipeline by the interleaved A/B
+        # (scripts/bench_ab_full.py): packedfold45 beat packed in 4/4
+        # windows (clean-window 2.50x vs 2.43x).  Folding ALL up levels
+        # (packedfold) measured slightly worse (64.1 ms) — the >=128-channel
+        # mid-levels already run at 79-100% of bf16 peak dense, so the fold
+        # only pays where the lanes are underfilled.  Elsewhere
         # (CPU tests/dryruns) auto stays dense.
         if conv_impl == "auto":
-            conv_impl = "packed" if jax.default_backend() == "tpu" else "dense"
+            conv_impl = (
+                "packedfold45" if jax.default_backend() == "tpu" else "dense"
+            )
         self.conv_impl = conv_impl
         self.last_disp: Optional[int] = None  # most recent warp window
         # bound on materialized interpolated frames per device call: at the

@@ -431,8 +431,17 @@ def unet_apply_nhwc(
     and unpack only at the two skip taps.  Everything from down2 on (>=128
     channels, lane-full) runs dense.
     """
+    # fold forms take an optional level suffix: "fold45"/"packedfold45"
+    # folds only up4+up5 (the lane-bound tail); no suffix folds every up.
+    def _fold_levels(impl: str, prefix: str):
+        suffix = impl[len(prefix):]
+        return frozenset(int(c) for c in suffix) if suffix else frozenset(range(1, 6))
+
     if (
-        conv_impl in ("packed", "packedup", "packedz", "packedfold")
+        (
+            conv_impl in ("packed", "packedup", "packedz")
+            or conv_impl.startswith("packedfold")
+        )
         and x.shape[2] % 4 == 0
         and x.shape[1] % 4 == 0
     ):
@@ -440,9 +449,13 @@ def unet_apply_nhwc(
             params, x,
             up=conv_impl == "packedup",
             lane3=conv_impl == "packedz",
-            fold=conv_impl == "packedfold",
+            fold=_fold_levels(conv_impl, "packedfold")
+            if conv_impl.startswith("packedfold") else frozenset(),
         )
-    fold = conv_impl == "fold"
+    fold = (
+        _fold_levels(conv_impl, "fold")
+        if conv_impl.startswith("fold") else frozenset()
+    )
     cb = functools.partial(
         _conv_block, conv_impl="dense" if fold else conv_impl
     )
@@ -459,7 +472,7 @@ def unet_apply_nhwc(
     # skips = [s1, s2, s3, s4, s5]; bottleneck x pairs with s5 first
     for i in range(1, 6):
         skip = skips[5 - i]
-        if fold:
+        if i in fold:
             x = _upconv_fold_block(x, params[f"up{i}.conv1"])
         else:
             x = cb(_upsample2_nhwc(x), params[f"up{i}.conv1"])
@@ -483,7 +496,7 @@ def _unet_apply_nhwc_packed(
     x: jnp.ndarray,
     up: bool = False,
     lane3: bool = False,
-    fold: bool = False,
+    fold: frozenset = frozenset(),
 ) -> jnp.ndarray:
     """Packed-resident forward: see unet_apply_nhwc(conv_impl="packed").
 
@@ -524,7 +537,7 @@ def _unet_apply_nhwc_packed(
     cb3 = _conv_block3_lane if lane3 else _conv_block
     for i in range(1, 4 if up else 6):
         skip = skips[5 - i]
-        if fold:
+        if i in fold:
             x = _upconv_fold_block(x, params[f"up{i}.conv1"])
         else:
             x = cb3(_upsample2_nhwc(x), params[f"up{i}.conv1"])
